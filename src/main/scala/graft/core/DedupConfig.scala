@@ -1,0 +1,59 @@
+package graft.core
+
+/** Global pipeline configuration — the analog of destor's `struct destor`
+  * (reference: src/destor.h:194-282) and its key-value config grammar
+  * (src/config.c:19-325). One immutable case class instead of ~40 global
+  * knobs; both the pipeline and the brute-force oracle read the SAME
+  * instance, which is what the "same shingle/signature config" recall
+  * gate refers to (BASELINE.json `metric`).
+  *
+  * Defaults mirror destor's defaults where a direct analog exists
+  * (destor.config:29-107): MinHash K=128 ↦ sampling ratio 128
+  * (destor.config:74), capping level ↦ rewrite-capping-level 14
+  * (destor.config:140) scaled for bucket capping, quantile skew
+  * threshold ↦ CBR utility histogram (src/cbr_rewrite.c:38-55).
+  */
+final case class DedupConfig(
+    // --- shingling (analog of chunking, src/chunk_phase.c) ---
+    shingleSize: Int = 3, // words per shingle (k-shingle)
+    // --- MinHash (analog of min-sampling F1, src/index/sampling_method.c:12-75) ---
+    minhashK: Int = 128, // signature length
+    minhashSeed1: Long = 0x9747b28cL,
+    minhashSeed2: Long = 0x85ebca6bL,
+    // --- LSH banding (analog of feature→segment kv index, src/index/kvstore_htable.c) ---
+    bands: Int = 32, // b bands ...
+    rowsPerBand: Int = 4, // ... of r rows each; b*r == minhashK
+    // --- SimHash / phash hamming (pixel-side signature) ---
+    simhashBits: Int = 64,
+    hammingMax: Int = 6, // max hamming distance for a phash dup
+    phashBands: Int = 8, // 8 bands × 8 bits ⇒ guaranteed candidate for hamming ≤ 7
+    // --- verification thresholds (the oracle uses these EXACT values) ---
+    jaccardMin: Double = 0.8, // exact word-shingle Jaccard for caption dup
+    psnrMin: Double = 40.0, // decoded-pixel PSNR gate (BASELINE.json input_hint)
+    // --- substring pass: winnowing fingerprints (Schleimer et al. SIGMOD'03;
+    //     the guaranteed-recall analog of Sparse-Index sampled postings F3) ---
+    substrGram: Int = 6, // char k-gram size
+    substrWindow: Int = 12, // winnowing window w; guarantee length = w+gram-1
+    // --- skew handling (CAP/CBR/HAR analogs, src/cap_rewrite.c / src/cbr_rewrite.c) ---
+    bucketCap: Int = 64, // all-pairs only for buckets ≤ cap; star-pairs above (CAP, R4)
+    skewQuantile: Double = 0.99, // quantile that defines a "hot" bucket (CBR, A4/R3)
+    // --- misc ---
+    seed: Long = 42L
+) {
+  require(bands * rowsPerBand == minhashK, s"bands*rowsPerBand must equal minhashK")
+  /** Min normalized-caption length (chars) for the substring-dup gate:
+    * winnowing guarantees any shared substring of this length shares a
+    * selected fingerprint, so recall of the substring pass is exact. */
+  def substrMinChars: Int = substrWindow + substrGram - 1
+  /** Stable hash of the config — stamped into checkpoint manifests so a
+    * resume with a different config never silently reuses stale stages. */
+  def configHash: String = {
+    val s = this.toString
+    java.lang.Long.toHexString(
+      s.getBytes("UTF-8").foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ (b & 0xffL)) * 0x100000001b3L))
+  }
+}
+
+object DedupConfig {
+  val default: DedupConfig = DedupConfig()
+}

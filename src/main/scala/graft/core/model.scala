@@ -1,0 +1,82 @@
+package graft.core
+
+/** Core row types of the pipeline — the analog of destor's fixed C structs
+  * (chunk `src/destor.h:289-295`, segment `src/destor.h:298-304`,
+  * chunkPointer `src/recipe/recipestore.h:78-82`), expressed as case
+  * classes with Catalyst `Encoder`s so every stage is a typed
+  * `Dataset[T]` / `DataFrame` and Tungsten stores rows off-heap.
+  */
+
+/** One row of the input `images` table (BASELINE.json `input_hint`). */
+final case class ImageRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String, // "ppm" (raw RGB) | "qnt" (quantized RGB — lossy re-encode)
+    caption: String,
+    phash: Long
+)
+
+/** Per-image signature bundle — the analog of a destor segment's sampled
+  * feature set (`src/destor.h:298-304` + `src/index/sampling_method.c`).
+  * `minhash` is the K-permutation MinHash over caption shingles (F1
+  * min-sampling recast); `simhash` is a 64-bit SimHash over pixel
+  * features; `sha` is the exact-dup key (P8 SHA-1 fingerprinting,
+  * `src/hash_phase.c:8-38`).
+  */
+final case class SignatureRow(
+    image_id: String,
+    sha: String, // hex sha1 over (bytes ++ caption) — exact-dup identity
+    pixsha: String, // hex sha1 over decoded RAW pixels — exact-pixel dup key
+    minhash: Array[Long],
+    simhash: Long,
+    phash: Long,
+    shingle_count: Int,
+    caption: String
+)
+
+/** One LSH bucket posting: (band index, band hash) → image. The analog of
+  * destor's feature→segment kv postings (`src/index/kvstore_htable.c`).
+  */
+final case class BucketRow(band: Int, bucket: Long, image_id: String)
+
+/** An unverified candidate pair (id1 < id2 lexicographically).
+  * `src` names the generating stage: "exact" | "minhash" | "phash" |
+  * "substr" — the analog of destor's dedup-decision provenance flags
+  * (`src/destor.h:170-188`).
+  */
+final case class CandidatePair(id1: String, id2: String, src: String)
+
+/** A verified duplicate pair with its evidence. */
+final case class VerifiedPair(
+    id1: String,
+    id2: String,
+    src: String,
+    jaccard: Double,
+    hamming: Int,
+    psnr: Double,
+    verdict: String // "exact" | "caption" | "pixel" | "substr"
+)
+
+/** Final cluster assignment; `cluster_id` = min `image_id` of the
+  * component (deterministic canonical representative — the analog of
+  * destor's first-occurrence-wins container id, `src/index/index.c:282-315`).
+  */
+final case class ClusterRow(image_id: String, cluster_id: String, representative: Boolean)
+
+/** Per-stage, per-partition lineage record (north_rule resumability —
+  * the analog of destor's recipe store, `src/recipe/recipestore.h:25-52`).
+  */
+final case class LineageRow(
+    stage: String,
+    partition_id: Int,
+    rows_out: Long,
+    wall_ms: Long,
+    run_id: String
+)
+
+/** One metric observation (analog of destor's jcr counters,
+  * `src/jcr.h:19-61`, and `backup.log` rows, `src/do_backup.c:179-207`).
+  */
+final case class MetricRow(stage: String, metric: String, value: Double, run_id: String)
