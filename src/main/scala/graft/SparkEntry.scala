@@ -1,13 +1,189 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{DedupConfig, Sessions}
+import graft.ops.RelationalOps
+import graft.pipeline.DedupPipeline
+import graft.sim.EmbedOps
+import graft.synth.CorpusGen
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-oracle SQL twin where the semantics
+  * are ANSI-SQL-expressible (same column names both sides; the driver
+  * sorts columns by name before hashing). Non-SQL-expressible operators
+  * (MinHash/SimHash LSH, winnowing, ANN, the image pipeline) get
+  * rows-only checks here and exact oracles in the ScalaTest suite.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val cfg = DedupConfig.default
+
+  /** sfDir -> deterministic synthetic image-corpus size (groups of 8). */
+  def groupsFor(sfDir: String): Long =
+    if (sfDir.contains("sf0.1")) 2500L
+    else if (sfDir.contains("sf0.01")) 250L
+    else 25L
+
+  /** Flagship: the near-dup clustering pipeline on the sf0.001-scale
+    * synthetic corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    DedupPipeline.run(CorpusGen.generate(spark, 25), cfg).toDF()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational operator inventory (SURVEY §2, DuckDB-oracled) ---
+    "q_agg_stats" -> ((s, d) => RelationalOps.aggStats(s, d)),
+    "q_filter_project" -> ((s, d) => RelationalOps.filterProject(s, d)),
+    "q_join_agg" -> ((s, d) => RelationalOps.joinAgg(s, d)),
+    "q_anti_join" -> ((s, d) => RelationalOps.antiJoin(s, d)),
+    "q_semi_join" -> ((s, d) => RelationalOps.semiJoin(s, d)),
+    "q_topk_per_group" -> ((s, d) => RelationalOps.topKPerGroup(s, d)),
+    "q_running_sum" -> ((s, d) => RelationalOps.runningSum(s, d)),
+    "q_segment_fixed" -> ((s, d) => RelationalOps.segmentFixed(s, d)),
+    "q_segment_content" -> ((s, d) => RelationalOps.segmentContentDefined(s, d)),
+    "q_sample_mod" -> ((s, d) => RelationalOps.sampleMod(s, d)),
+    "q_set_ops" -> ((s, d) => RelationalOps.setOps(s, d)),
+    "q_quantile" -> ((s, d) => RelationalOps.quantile(s, d)),
+    "q_cfl_stats" -> ((s, d) => RelationalOps.cflStats(s, d)),
+    "q_event_windows" -> ((s, d) => RelationalOps.eventWindows(s, d)),
+    "q_fifo_lists" -> ((s, d) => RelationalOps.fifoLists(s, d)),
+    // --- text analysis / document dedup family ---
+    "q_exact_dedup" -> ((s, d) => TextOps.exactDedup(s, d)),
+    "q_dedup_stats" -> ((s, d) => TextOps.dedupStats(s, d)),
+    "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
+    "q_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "q_doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
+    "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "q_substr_dups" -> ((s, d) => TextOps.substrDedup(s, d, cfg)),
+    "q_minhash_dedup" -> ((s, d) => TextOps.minhashDedup(s, d, cfg)),
+    "q_simhash_dedup" -> ((s, d) => TextOps.simhashDedup(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardDedup(s, d)),
+    // --- embedding similarity search ---
+    "q_embed_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
+    "q_embed_ann" -> ((s, d) => EmbedOps.annTopK(s, d)),
+    "q_nearest_centroid" -> ((s, d) => EmbedOps.nearestCentroid(s, d)),
+    // --- the image near-dup pipeline on the synthetic corpus ---
+    "q_img_clusters" -> ((s, d) =>
+      DedupPipeline.run(CorpusGen.generate(s, groupsFor(d)), cfg).toDF()),
+    "q_img_signatures" -> ((s, d) =>
+      DedupPipeline.signatures(CorpusGen.generate(s, groupsFor(d)), cfg)
+        .select(col("image_id"), col("sha"), col("simhash"), col("phash"), col("shingle_count"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | round(sum(l_discount),2) AS sum_disc
+        |FROM lineitem GROUP BY 1,2""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice*(1-l_discount) AS net_price
+        |FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10""".stripMargin,
+    "q_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_running_sum" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_value
+        |FROM events""".stripMargin,
+    "q_segment_fixed" ->
+      """WITH e AS (SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events)
+        |SELECT user_id, CAST((rn-1)//5 AS INTEGER) AS seg, count(*) AS n_events,
+        | round(sum(value),2) AS seg_value
+        |FROM e GROUP BY 1,2""".stripMargin,
+    "q_segment_content" ->
+      """WITH s AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+        | FROM events)
+        |SELECT user_id, seg, count(*) AS n_events FROM s GROUP BY 1,2""".stripMargin,
+    "q_sample_mod" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE substr(md5(text),1,1) IN ('0','1')""".stripMargin,
+    "q_set_ops" ->
+      """SELECT DISTINCT l_partkey AS partkey FROM lineitem
+        |EXCEPT
+        |SELECT p_partkey AS partkey FROM part WHERE p_size > 25""".stripMargin,
+    "q_quantile" ->
+      """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5),4) AS median_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_cfl_stats" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_supp,
+        | round(CAST(sum(l_quantity) AS DOUBLE)/100.0,2) AS ideal_units
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n, round(sum(value),2) AS v
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q_fifo_lists" ->
+      """SELECT user_id,
+        | string_agg(event_type, ',' ORDER BY ts DESC, event_id DESC) AS types_newest_first
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS dup_key, min(doc_id) AS canonical_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_stats" ->
+      """SELECT
+        | (SELECT count(*) FROM documents) AS total_docs,
+        | (SELECT count(*) FROM (SELECT md5(text) FROM documents GROUP BY 1)) AS unique_docs,
+        | (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS total_chars,
+        | (SELECT CAST(sum(sz) AS BIGINT) FROM
+        |   (SELECT min(n_chars) AS sz FROM documents GROUP BY md5(text))) AS unique_chars""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS n_chars2,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        | CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INTEGER) AS n_alnum,
+        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |   t -> t IN ('the','a','and','of','to','in','is'))) AS INTEGER) AS n_stopwords
+        |FROM documents""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(
+        |   string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q_substr_dups" ->
+      s"""SELECT a.doc_id AS id1, b.doc_id AS id2
+        |FROM documents a JOIN documents b
+        | ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE (length(lower(a.text)) >= ${cfg.substrMinChars}
+        |   AND contains(lower(b.text), lower(a.text)) AND lower(a.text) <> lower(b.text))
+        |   OR (length(lower(b.text)) >= ${cfg.substrMinChars}
+        |   AND contains(lower(a.text), lower(b.text)) AND lower(a.text) <> lower(b.text))""".stripMargin,
+    "q_embed_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        | FROM e a, e b WHERE a.vec_id <> b.vec_id)
+        |SELECT vec_id, neighbor_id, CAST(rk AS INTEGER) AS rk, cos FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY cos DESC, neighbor_id) AS rk FROM p) WHERE rk <= 5""".stripMargin
+  )
 }

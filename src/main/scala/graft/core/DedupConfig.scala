@@ -32,8 +32,12 @@ final case class DedupConfig(
     psnrMin: Double = 40.0, // decoded-pixel PSNR gate (BASELINE.json input_hint)
     // --- substring pass: winnowing fingerprints (Schleimer et al. SIGMOD'03;
     //     the guaranteed-recall analog of Sparse-Index sampled postings F3) ---
-    substrGram: Int = 6, // char k-gram size
-    substrWindow: Int = 12, // winnowing window w; guarantee length = w+gram-1
+    // gram=10 keeps buckets near-unique (a 10-char gram spans ~2 words, so
+    // common short patterns don't create hot fingerprints); window=24 holds
+    // postings to ~2L/25 per doc. Guarantee length = 33 chars, well under
+    // typical caption/document lengths.
+    substrGram: Int = 10, // char k-gram size
+    substrWindow: Int = 24, // winnowing window w; guarantee length = w+gram-1
     // --- skew handling (CAP/CBR/HAR analogs, src/cap_rewrite.c / src/cbr_rewrite.c) ---
     bucketCap: Int = 64, // all-pairs only for buckets ≤ cap; star-pairs above (CAP, R4)
     skewQuantile: Double = 0.99, // quantile that defines a "hot" bucket (CBR, A4/R3)

@@ -1,0 +1,133 @@
+package graft.sim
+
+import graft.signatures.Sig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table
+  * (vec_id:long, embedding:array<float>, label:int).
+  *
+  * Two paths, per the brief:
+  *  - brute-force cosine top-k: the correctness baseline. All math in
+  *    builtin higher-order functions (zip_with + aggregate) so the dot
+  *    product stays inside codegen; the pairing is a block cross-join.
+  *  - hyperplane-LSH (SimHash-for-vectors) bucketed ANN: the scale
+  *    path — candidates only within matching hash buckets, so cost is
+  *    ~O(n * bucket) instead of O(n^2).
+  */
+object EmbedOps {
+
+  def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** cosine(a,b) as a Column over two array<double> columns —
+    * sequential double accumulation (matches DuckDB's
+    * list_cosine_similarity on DOUBLE[] for oracle parity). */
+  private def cosine(a: String, b: String) = {
+    val dot = expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+    val na = expr(s"aggregate($a, cast(0.0 as double), (acc, v) -> acc + v * v)")
+    val nb = expr(s"aggregate($b, cast(0.0 as double), (acc, v) -> acc + v * v)")
+    dot / sqrt(na * nb)
+  }
+
+  /** Brute-force cosine top-k neighbors per vector. Output
+    * (vec_id, neighbor_id, rk) with deterministic tie-break, scores
+    * rounded to 6 decimals before ranking so engine ulp noise can't
+    * flip ranks. */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val a = e.select(col("vec_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+    a.crossJoin(b)
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine("va", "vb"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("vec_id", "neighbor_id", "rk", "cos")
+  }
+
+  /** Random-hyperplane LSH signature (64 planes from a seeded
+    * deterministic pseudo-Gaussian), banded like the image phash path:
+    * vectors within small angular distance share a band slice with
+    * high probability. */
+  def hyperplaneSig(dim: Int, planes: Int = 64, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dim) { d =>
+        // Box-Muller on splitmix streams — deterministic pseudo-Gaussian
+        val u1 = (Sig.mix64(seed ^ (p * 1024L + d)) >>> 11) / 9007199254740992.0
+        val u2 = (Sig.mix64(seed ^ (p * 1024L + d) ^ 0x5bf03635L) >>> 11) / 9007199254740992.0
+        math.sqrt(-2.0 * math.log(u1 + 1e-12)) * math.cos(2.0 * math.Pi * u2)
+      }
+    }
+
+  /** ANN via multi-table hyperplane LSH + exact cosine re-rank.
+    *
+    * L independent tables of kBits hyperplane signs each: a neighbor at
+    * angular similarity p = 1 - theta/pi collides in one table with
+    * prob p^kBits, across L tables with 1-(1-p^kBits)^L. Defaults
+    * (L=16, k=4) target recall ~0.9 for cos~0.3 neighbors — this
+    * corpus is near-random, the hardest regime. kBits is the scale
+    * knob: at n vectors, expected bucket size is n/2^kBits, so raise
+    * kBits with log2(n) to hold candidate cost at
+    * ~L * n * bucket << n^2. Candidates are deduped across tables
+    * before the (expensive) exact re-rank. */
+  def annTopK(spark: SparkSession, dir: String, k: Int = 5,
+      tables: Int = 16, kBits: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val planesB = spark.sparkContext.broadcast(hyperplaneSig(64, tables * kBits))
+    val codesU = udf((v: Seq[Double]) => {
+      val planes = planesB.value
+      Array.tabulate(tables) { t =>
+        var code = 0L
+        var b = 0
+        while (b < kBits) {
+          val pl = planes(t * kBits + b)
+          var s = 0.0
+          var i = 0
+          val n = math.min(pl.length, v.length)
+          while (i < n) { s += pl(i) * v(i); i += 1 }
+          if (s > 0) code |= (1L << b)
+          b += 1
+        }
+        code
+      }
+    })
+    val postings = e.select(col("vec_id"), col("v"),
+      posexplode(codesU(col("v"))).as(Seq("band", "bucket")))
+    val a = postings.select(col("band"), col("bucket"), col("vec_id"), col("v").as("va"))
+    val b = postings.select(col("band"), col("bucket"),
+      col("vec_id").as("neighbor_id"), col("v").as("vb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id", "va", "vb").distinct()
+      .withColumn("cos", round(cosine("va", "vb"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("vec_id", "neighbor_id", "rk", "cos")
+  }
+
+  /** Label-centroid assignment: mean vector per label, then each
+    * vector's nearest centroid — the IVF coarse-quantizer step. */
+  def nearestCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("label"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // per-dimension mean via posexplode+groupBy — no collect_list of
+    // whole vectors, so centroid computation scales with n*dim rows
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
+      .select(col("label").as("c_label"), col("centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_label"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("cos", round(cosine("v", "centroid"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("nearest_label"))
+  }
+}

@@ -1,0 +1,224 @@
+package graft.text
+
+import graft.core.DedupConfig
+import graft.signatures.Sig
+import graft.cluster.ConnectedComponents
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + document-dedup operators over the `documents` table
+  * (doc_id:long, text:string, lang:string, source:string, n_chars:long)
+  * — the training-data-pipeline operator family, built from the same
+  * signature stack as the image pipeline.
+  *
+  * Design for 100 TB: every per-document computation is a narrow
+  * projection (codegen'd builtins where possible, typed map otherwise);
+  * the only shuffles are the LSH bucket joins and the final groupBys,
+  * all equi-keyed and AQE-managed.
+  */
+object TextOps {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: hash-groupBy on md5(text) — destor's exact-physical
+    * DDFS index (reference: src/index/index.c:140-217) as one
+    * aggregation; canonical = min doc_id (first-occurrence-wins,
+    * src/index/index.c:282-315). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("dup_key"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Corpus-level dedup-ratio metrics (destor's backup.log analog,
+    * src/do_backup.c:108-114): unique vs total text bytes. */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val uniq = d.groupBy(md5(col("text")).as("k"))
+      .agg(min("n_chars").as("sz"))
+    d.agg(count(lit(1)).as("total_docs"), sum("n_chars").as("total_chars"))
+      .crossJoin(uniq.agg(count(lit(1)).as("unique_docs"), sum("sz").as("unique_chars")))
+      .select(col("total_docs"), col("unique_docs"), col("total_chars"), col("unique_chars"))
+  }
+
+  /** Whitespace token count per doc (codegen'd builtins only). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+
+  /** Quality scoring: length / punctuation / stopword ratios — all
+    * builtin higher-order functions, so the whole row stays inside one
+    * WholeStageCodegen span. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars2"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).as("n_alnum"),
+      expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t in (${stop.map("'" + _ + "'").mkString(",")})))")
+        .as("n_stopwords"))
+  }
+
+  /** Bag-of-words document fingerprint: md5 over the sorted distinct
+    * token set — an order-invariant content fingerprint (the hex-codec
+    * P10 + fingerprinting P8 analog, src/hash_phase.c:8-38). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(trim(col("text")), "\\s+"))), " "))
+        .as("fingerprint"))
+
+  /** Language ID: stopword-profile heuristic (n-gram/stopword voting).
+    * Deterministic, pure-builtin scoring; emits best guess + the
+    * English-stopword hit count as evidence. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "a", "is", "that"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+      "es" -> Seq("el", "la", "los", "y", "es", "una"),
+      "zh" -> Seq("的", "是", "了", "在"))
+    def hits(words: Seq[String]): Column =
+      expr(s"size(filter(split(trim(text), '\\\\s+'), t -> t in (${words.map("'" + _ + "'").mkString(",")})))")
+    val scored = profiles.foldLeft(docs(spark, dir)) { case (df, (lang, words)) =>
+      df.withColumn(s"h_$lang", hits(words))
+    }
+    val best = profiles.map { case (l, _) => struct(col(s"h_$l").as("h"), lit(l).as("l")) }
+    scored.select(
+      col("doc_id"),
+      greatest(best: _*).getField("l").as("lang_pred"),
+      col(s"h_en").as("en_hits"))
+  }
+
+  // ---------------- near-dup family ----------------
+
+  private def shingleUdf(k: Int) = udf((text: String) => Sig.shingleHashes(text, k))
+
+  /** Per-doc MinHash signature + band keys (narrow). */
+  private def minhashBands(d: DataFrame, cfg: DedupConfig): DataFrame = {
+    val mh = udf((text: String) => {
+      val sh = Sig.shingleHashes(text, cfg.shingleSize)
+      Sig.bandKeys(Sig.minhash(sh, cfg), cfg)
+    })
+    d.select(col("doc_id"), posexplode(mh(col("text"))).as(Seq("band", "bucket")))
+  }
+
+  /** Candidate pairs from any (band,bucket) posting table, with the
+    * CAP-analog cap: all-pairs below `bucketCap`, star pairs above. */
+  def bucketPairs(postings: DataFrame, bucketCap: Int): DataFrame = {
+    val sizes = postings.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("sz"), min("doc_id").as("rep"))
+      .filter(col("sz") >= 2)
+    val withSz = postings.join(sizes, Seq("band", "bucket"))
+    val small = withSz.filter(col("sz") <= bucketCap)
+      .select(col("band"), col("bucket"), col("doc_id"))
+    val smallPairs = small.as("a")
+      .join(small.withColumnRenamed("doc_id", "id2").as("b"), Seq("band", "bucket"))
+      .filter(col("doc_id") < col("id2"))
+      .select(col("doc_id").as("id1"), col("id2"))
+    val hotPairs = withSz.filter(col("sz") > bucketCap && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id1"), col("doc_id").as("id2"))
+    smallPairs.union(hotPairs).distinct()
+  }
+
+  /** MinHash+LSH near-dup clusters over documents: shingle → minhash →
+    * band → bucket-join → exact-Jaccard verify → connected components.
+    * Returns (doc_id, cluster_id). */
+  def minhashDedup(spark: SparkSession, dir: String, cfg: DedupConfig = DedupConfig.default,
+      jaccardMin: Double = 0.7): DataFrame = {
+    val d = docs(spark, dir)
+    val cand = bucketPairs(minhashBands(d, cfg), cfg.bucketCap)
+    val sh = shingleUdf(cfg.shingleSize)
+    val t1 = d.select(col("doc_id").as("id1"), sh(col("text")).as("sh1"))
+    val t2 = d.select(col("doc_id").as("id2"), sh(col("text")).as("sh2"))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) => Sig.jaccard(a.toArray, b.toArray))
+    val verified = cand.join(t1, "id1").join(t2, "id2")
+      .withColumn("jaccard", jac(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= jaccardMin)
+      .select("id1", "id2")
+    val vertices = d.select(col("doc_id").as("id"))
+    ConnectedComponents.run(spark, vertices,
+        verified.select(col("id1").as("src"), col("id2").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash over token hashes,
+    * hamming-band LSH, verified hamming <= max. Returns
+    * (id1, id2, hamming). */
+  def simhashDedup(spark: SparkSession, dir: String, bands: Int = 8,
+      hammingMax: Int = 6): DataFrame = {
+    val d = docs(spark, dir)
+    val sim = udf((text: String) => Sig.simhash64(Sig.shingleHashes(text, 2), null))
+    val sigs = d.select(col("doc_id"), sim(col("text")).as("simhash"))
+    val bandU = udf((s: Long) => Sig.hammingBandKeys(s, bands))
+    val postings = sigs.select(col("doc_id"), posexplode(bandU(col("simhash"))).as(Seq("band", "bucket")))
+    val cand = bucketPairs(postings, 64)
+    val s1 = sigs.select(col("doc_id").as("id1"), col("simhash").as("sim1"))
+    val s2 = sigs.select(col("doc_id").as("id2"), col("simhash").as("sim2"))
+    val ham = udf((a: Long, b: Long) => Sig.hamming(a, b))
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("hamming", ham(col("sim1"), col("sim2")))
+      .filter(col("hamming") <= hammingMax)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** N-gram (char trigram) Jaccard near-dup pairs: MinHash bands over
+    * the trigram SET (the right LSH for set-Jaccard; winnowing only
+    * guarantees shared contiguous runs) -> exact trigram Jaccard
+    * verify. Returns (id1, id2, jaccard3 rounded). */
+  def ngramJaccardDedup(spark: SparkSession, dir: String, jaccardMin: Double = 0.5): DataFrame = {
+    val d = docs(spark, dir)
+    val cfg = DedupConfig.default
+    val grams = udf((text: String) => {
+      val g = Sig.charGramHashes(text.toLowerCase, 3)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      g.foreach(set.add(_))
+      val out = new Array[Long](set.size)
+      val it = set.iterator(); var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    })
+    val mhBands = udf((text: String) => {
+      val g = Sig.charGramHashes(text.toLowerCase, 3)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      g.foreach(set.add(_))
+      val arr = new Array[Long](set.size)
+      val it = set.iterator(); var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      Sig.bandKeys(Sig.minhash(arr, cfg), cfg)
+    })
+    val postings = d.select(col("doc_id"), posexplode(mhBands(col("text"))).as(Seq("band", "bucket")))
+    val cand = bucketPairs(postings, 64)
+    val g1 = d.select(col("doc_id").as("id1"), grams(col("text")).as("g1"))
+    val g2 = d.select(col("doc_id").as("id2"), grams(col("text")).as("g2"))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) => Sig.jaccard(a.toArray, b.toArray))
+    cand.join(g1, "id1").join(g2, "id2")
+      .withColumn("jaccard3", round(jac(col("g1"), col("g2")), 4))
+      .filter(col("jaccard3") >= jaccardMin)
+      .select("id1", "id2", "jaccard3")
+  }
+
+  /** Exact substring-containment dups WITHIN each source shard:
+    * winnowing postings guarantee recall for contained texts >=
+    * substrMinChars; verified with a real `contains`. Returns
+    * (id1, id2) where one text contains the other. */
+  def substrDedup(spark: SparkSession, dir: String, cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    val d = docs(spark, dir)
+    val win = udf((text: String) => Sig.captionFingerprints(text, cfg.substrGram, cfg.substrWindow))
+    // band by source so candidates stay shard-local (matches the oracle)
+    val postings = d.select(col("doc_id"), col("source"),
+        explode(win(lower(col("text")))).as("bucket"))
+      .select(col("doc_id"), hash(col("source")).as("band"), col("bucket"))
+    val cand = bucketPairs(postings, 256)
+    val t1 = d.select(col("doc_id").as("id1"), lower(col("text")).as("tx1"), col("source").as("src1"))
+    val t2 = d.select(col("doc_id").as("id2"), lower(col("text")).as("tx2"), col("source").as("src2"))
+    cand.join(t1, "id1").join(t2, "id2")
+      .filter(col("src1") === col("src2"))
+      .filter(
+        (length(col("tx1")) >= cfg.substrMinChars && col("tx2").contains(col("tx1")) && col("tx1") =!= col("tx2")) ||
+        (length(col("tx2")) >= cfg.substrMinChars && col("tx1").contains(col("tx2")) && col("tx1") =!= col("tx2")))
+      .select("id1", "id2")
+  }
+}

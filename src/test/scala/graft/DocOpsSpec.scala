@@ -1,0 +1,144 @@
+package graft
+
+import graft.core.DedupConfig
+import graft.signatures.Sig
+import graft.sim.EmbedOps
+import graft.text.TextOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact oracles for the queries the driver can only rows-check:
+  * brute-force pairwise comparisons at sf0.001 against the LSH paths. */
+class DocOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, 8, "docops-spec")
+  val dir = "/root/testdata/sf0.001"
+  val cfg = DedupConfig.default
+
+  lazy val docLocal: Array[(Long, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  test("minhash dedup clusters == brute-force jaccard clusters (recall >= 0.99, no false merges)") {
+    val sh = docLocal.map { case (id, tx) => id -> Sig.shingleHashes(tx, cfg.shingleSize) }.toMap
+    val ids = docLocal.map(_._1).sorted
+    val truePairs = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if Sig.jaccard(sh(ids(i)), sh(ids(j))) >= 0.7
+    } yield (ids(i), ids(j))).toSet
+
+    val got = TextOps.minhashDedup(spark, dir, cfg).collect()
+      .map(r => r.getLong(0).toString -> r.getLong(1).toString).toMap
+    // union-find the true pairs
+    val want = graft.synth.Oracle.clusters(
+      ids.map(_.toString), truePairs.map { case (a, b) => (a.toString, b.toString) })
+    val wantPairs = graft.synth.Oracle.clusterPairs(want)
+    val gotPairs = graft.synth.Oracle.clusterPairs(got)
+    val missed = wantPairs -- gotPairs
+    val extra = gotPairs -- wantPairs
+    val recall = if (wantPairs.isEmpty) 1.0 else 1.0 - missed.size.toDouble / wantPairs.size
+    assert(recall >= 0.99, s"recall=$recall of ${wantPairs.size}, missed=${missed.take(5)}")
+    assert(extra.isEmpty, s"false merges: ${extra.take(5)}")
+  }
+
+  test("simhash dedup pairs == brute-force hamming pairs") {
+    val sims = docLocal.map { case (id, tx) => id -> Sig.simhash64(Sig.shingleHashes(tx, 2), null) }
+    val want = (for {
+      i <- sims.indices.iterator
+      j <- (i + 1) until sims.length
+      if Sig.hamming(sims(i)._2, sims(j)._2) <= 6
+    } yield {
+      val (a, b) = (sims(i)._1, sims(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val got = TextOps.simhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hamming-band LSH with 8 bands guarantees hamming<=7 candidates:
+    // result must be EXACTLY the brute-force set
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("ngram jaccard pairs are correct and winnowing finds the high-sim ones") {
+    def grams(tx: String): Array[Long] = {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      Sig.charGramHashes(tx.toLowerCase, 3).foreach(set.add(_))
+      val out = new Array[Long](set.size)
+      val it = set.iterator(); var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+    val g = docLocal.map { case (id, tx) => id -> grams(tx) }.toMap
+    val got = TextOps.ngramJaccardDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision: every reported jaccard3 matches brute-force recompute
+    got.foreach { case (a, b, j) =>
+      val exact = BigDecimal(Sig.jaccard(g(a), g(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(exact - j) < 1e-9, s"pair ($a,$b): $j vs $exact")
+    }
+    // recall at high similarity (>=0.8): winnowed candidates must cover
+    val ids = docLocal.map(_._1).sorted
+    val want = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if Sig.jaccard(g(ids(i)), g(ids(j))) >= 0.8
+    } yield (ids(i), ids(j))).toSet
+    val gotHigh = got.filter(_._3 >= 0.8).map(t => (t._1, t._2)).toSet
+    val missed = want -- gotHigh
+    assert(missed.size <= math.max(1, want.size / 100), s"missed high-sim: ${missed.take(5)} of ${want.size}")
+  }
+
+  test("ANN recall@5 vs brute-force cosine top-5") {
+    val bf = EmbedOps.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = EmbedOps.annTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.map { case (v, nbrs) =>
+      val hit = ann.getOrElse(v, Set.empty).intersect(nbrs).size
+      hit.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"ANN recall@5 = $mean%.3f over ${recalls.size} queries")
+    // this corpus is near-random (top-5 cos ~0.23-0.48) — the hardest
+    // ANN regime; L=16 tables x 4 bits targets ~0.85 analytic recall
+    assert(mean >= 0.7, s"ANN recall too low: $mean")
+  }
+
+  test("nearest centroid matches exact local recomputation") {
+    val rows = EmbedOps.nearestCentroid(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    // exact oracle: centroids + assignment recomputed locally
+    val data = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val byLabel = data.groupBy(_._3)
+    val centroids = byLabel.map { case (l, rs) =>
+      val c = new Array[Double](64)
+      rs.foreach { case (_, v, _) => (0 until 64).foreach(i => c(i) += v(i)) }
+      (0 until 64).foreach(i => c(i) /= rs.length)
+      l -> c
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    var agree = 0
+    data.foreach { case (id, v, _) =>
+      val best = centroids.map { case (l, c) => (math.rint(cos(v, c) * 1e6) / 1e6, l) }
+        .toSeq.sortBy { case (s, l) => (-s, l) }.head._2
+      if (rows(id) == best) agree += 1
+    }
+    // allow a handful of 6-decimal rounding ties to differ
+    assert(agree >= data.length - 2, s"agreement $agree/${data.length}")
+  }
+
+  test("lang id emits deterministic predictions from the profile set") {
+    val rows = TextOps.langId(spark, dir).collect()
+    assert(rows.length == docLocal.length)
+    val langs = rows.map(_.getString(1)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
+    val again = TextOps.langId(spark, dir).collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(again == rows.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+  }
+}

@@ -60,7 +60,8 @@ class SigSpec extends AnyFunSuite {
     (0 until 200).foreach { seed =>
       val rng = new java.util.Random(seed)
       def word() = (1 to (3 + rng.nextInt(5))).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
-      val shared = (1 to 8).map(_ => word()).mkString(" ") // well above 17 chars
+      var shared = word()
+      while (shared.length < cfg.substrMinChars + 5) shared += " " + word()
       val a = word() + " " + shared
       val b = shared + " " + word() + " " + word()
       val fa = Sig.captionFingerprints(a, cfg.substrGram, cfg.substrWindow).toSet
