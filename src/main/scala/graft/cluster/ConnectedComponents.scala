@@ -24,13 +24,28 @@ object ConnectedComponents {
     * @param edges two-column DF `src`,`dst`
     * @return DF (id, component) where component = min id reachable
     */
-  def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val bidir = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+  /** Materialize + rebase on FRESH attribute ids: loop iterations
+    * union/join plans that would otherwise share attribute ids across
+    * checkpoint boundaries, which trips Catalyst constraint rewriting
+    * (AttributeMap key-not-found in Union.rewriteConstraints). */
+  private def checkpointFresh(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
 
-    var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
+  def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val bidir = checkpointFresh(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+
+    // iterate ONLY over vertices that appear in an edge — in a dedup
+    // workload the vast majority of rows are singletons and would just
+    // multiply every iteration's shuffle volume; they are stitched back
+    // (as their own component) by the final left join
+    var labels = checkpointFresh(
+      bidir.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -41,10 +56,10 @@ object ConnectedComponents {
       val prop = labels.select("id", "label").union(msgs)
         .groupBy("id").agg(min("label").as("label"))
       // compress: label''(v) = label'(label'(v)) — pointer doubling
-      val compressed = prop.as("a")
-        .join(prop.select(col("id").as("label"), col("label").as("label2")).as("b"), Seq("label"), "left")
-        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-        .localCheckpoint()
+      val compressed = checkpointFresh(
+        prop.as("a")
+          .join(prop.select(col("id").as("label"), col("label").as("label2")).as("b"), Seq("label"), "left")
+          .select(col("id"), coalesce(col("label2"), col("label")).as("label")))
       val changed = compressed.as("n")
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
@@ -53,6 +68,8 @@ object ConnectedComponents {
       converged = changed == 0
       iter += 1
     }
-    labels.withColumnRenamed("label", "component")
+    vertices.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("component"))
   }
 }

@@ -26,17 +26,23 @@ final case class DedupConfig(
     // --- SimHash / phash hamming (pixel-side signature) ---
     simhashBits: Int = 64,
     hammingMax: Int = 6, // max hamming distance for a phash dup
-    phashBands: Int = 8, // 8 bands × 8 bits ⇒ guaranteed candidate for hamming ≤ 7
+    // block-combination hamming LSH (Sig.hammingComboKeys): guarantees
+    // candidates for hamming <= phashBlocks - phashCombo (= hammingMax);
+    // combo keys are 21 bits, so buckets stay selective at bench scale.
+    // At 10^9+ rows raise phashCombo to 4 (guarantee 5) or blocks to 11.
+    phashBlocks: Int = 9,
+    phashCombo: Int = 3,
     // --- verification thresholds (the oracle uses these EXACT values) ---
     jaccardMin: Double = 0.8, // exact word-shingle Jaccard for caption dup
     psnrMin: Double = 40.0, // decoded-pixel PSNR gate (BASELINE.json input_hint)
     // --- substring pass: winnowing fingerprints (Schleimer et al. SIGMOD'03;
     //     the guaranteed-recall analog of Sparse-Index sampled postings F3) ---
-    // gram=10 keeps buckets near-unique (a 10-char gram spans ~2 words, so
-    // common short patterns don't create hot fingerprints); window=24 holds
-    // postings to ~2L/25 per doc. Guarantee length = 33 chars, well under
-    // typical caption/document lengths.
-    substrGram: Int = 10, // char k-gram size
+    // gram=16 spans ~3 words, so even Zipf-hot word bigrams don't create
+    // mid-size fingerprint buckets (measured: gram=10 produced ~10M
+    // all-pairs candidates at 100k rows from hot word-pair grams);
+    // window=24 holds postings to ~2L/25 per doc. Guarantee length =
+    // 39 chars, still well under typical caption/document lengths.
+    substrGram: Int = 16, // char k-gram size
     substrWindow: Int = 24, // winnowing window w; guarantee length = w+gram-1
     // --- skew handling (CAP/CBR/HAR analogs, src/cap_rewrite.c / src/cbr_rewrite.c) ---
     bucketCap: Int = 64, // all-pairs only for buckets ≤ cap; star-pairs above (CAP, R4)

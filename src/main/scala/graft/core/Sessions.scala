@@ -21,6 +21,14 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // the bypass-merge shuffle writer creates one file per reduce
+      // partition and merges them with NIO transferTo; on this kernel
+      // the mmap/unmap churn serializes at high thread counts (observed:
+      // 32-thread runs 3-10x slower than 8-thread on identical input,
+      // all tasks RUNNABLE in FileChannelImpl.unmap). Use the sort
+      // writer + stream copy instead.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      .config("spark.file.transferTo", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -38,8 +38,12 @@ final case class SignatureRow(
 
 /** One LSH bucket posting: (band index, band hash) → image. The analog of
   * destor's feature→segment kv postings (`src/index/kvstore_htable.c`).
+  * `payload` carries the full 64-bit hash for hamming-LSH bands so the
+  * pair generator can reject far pairs AT EMISSION (bucket collisions
+  * grow ~n^2/keyspace; filtering before the pair shuffle keeps the
+  * candidate stream linear). 0 for bands with no payload semantics.
   */
-final case class BucketRow(band: Int, bucket: Long, image_id: String)
+final case class BucketRow(band: Int, bucket: Long, image_id: String, payload: Long = 0L)
 
 /** An unverified candidate pair (id1 < id2 lexicographically).
   * `src` names the generating stage: "exact" | "minhash" | "phash" |

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
 private[pipeline] final case class Mid(id1: String, id2: String, src: String,
     jaccard: Double, hamming: Int, verdict: String, needPixel: Boolean)
 
-object DedupPipeline {
+object DedupPipeline extends Serializable {
 
   private def hex(b: Array[Byte]): String = {
     val sb = new StringBuilder(b.length * 2)
@@ -95,9 +95,9 @@ object DedupPipeline {
       val bk = Sig.bandKeys(s.minhash, cfg)
       var b = 0
       while (b < bk.length) { out += BucketRow(b, bk(b), s.image_id); b += 1 }
-      val pk = Sig.hammingBandKeys(s.phash, cfg.phashBands)
+      val pk = Sig.hammingComboKeys(s.phash, cfg.phashBlocks, cfg.phashCombo)
       b = 0
-      while (b < pk.length) { out += BucketRow(BandPhash + b, pk(b), s.image_id); b += 1 }
+      while (b < pk.length) { out += BucketRow(BandPhash + b, pk(b), s.image_id, s.phash); b += 1 }
       val cap = s.caption.toLowerCase
       if (cap.length >= cfg.substrMinChars) {
         val fps = Sig.captionFingerprints(s.caption, cfg.substrGram, cfg.substrWindow)
@@ -111,35 +111,96 @@ object DedupPipeline {
   }
 
   /** Stage 3 — candidate pair generation with explicit skew handling.
-    * Small buckets (size <= bucketCap): all-pairs self-join. Hot buckets
-    * (size > cap): star pairing to the bucket's min image_id — destor's
-    * CAP capping (src/cap_rewrite.c:44-107) transposed: bounded fan-in
-    * per bucket, connectivity preserved for the clustering stage.
-    * One shuffle on (band,bucket); pair dedup across bands is a second
-    * shuffle on (id1,id2). */
+    * ONE shuffle groups postings per (band,bucket); pairs are expanded
+    * locally from the member list — all-pairs for buckets <= bucketCap,
+    * star pairing to the min image_id above it (destor's CAP capping,
+    * src/cap_rewrite.c:44-107: bounded fan-in per bucket, connectivity
+    * preserved for clustering). Pair dedup across bands is the second
+    * shuffle. (The earlier sizes-join + self-join formulation computed
+    * the posting subtree twice and shuffled each pair row three times.)
+    */
+  // source bit flags — srcmask is a bit-OR across all bands a pair was
+  // seen in (a pair can be a candidate from several signature families;
+  // verify routes on the full set, not a single label)
+  val SrcExact = 1
+  val SrcMinhash = 2
+  val SrcPhash = 4
+  val SrcSubstr = 8
+
   def candidates(bk: Dataset[BucketRow], cfg: DedupConfig): DataFrame = {
+    // Pair expansion WITHOUT building per-bucket lists: repartition on
+    // (band,bucket), sort within partitions, stream over runs of equal
+    // keys emitting pairs directly. A collect_list-based formulation
+    // spent ~170s at 100k rows just materializing 10M grouped lists
+    // (object-aggregation fallback); this is one Tungsten sort shuffle
+    // + a linear scan. Buffer is bounded by the largest bucket (hot
+    // buckets emit only star pairs, so the buffer is read-only after
+    // the cap).
     val spark = bk.sparkSession
     import spark.implicits._
-    val src = when(col("band") < BandPhash, "minhash")
-      .when(col("band") < BandSubstr, "phash")
-      .when(col("band") < BandExactSha, "substr")
-      .otherwise("exact")
-    val sizes = bk.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("sz"), min("image_id").as("rep"))
-      .filter(col("sz") >= 2)
-    val withSz = bk.join(sizes, Seq("band", "bucket"))
-    val small = withSz.filter(col("sz") <= cfg.bucketCap)
-      .select(col("band"), col("bucket"), col("image_id"))
-    val smallPairs = small.as("a")
-      .join(small.withColumnRenamed("image_id", "id2").as("b"), Seq("band", "bucket"))
-      .filter(col("image_id") < col("id2"))
-      .select(col("image_id").as("id1"), col("id2"), col("band"))
-    val hotPairs = withSz.filter(col("sz") > cfg.bucketCap && col("image_id") =!= col("rep"))
-      .select(col("rep").as("id1"), col("image_id").as("id2"), col("band"))
-    smallPairs.union(hotPairs)
-      .withColumn("src", src)
+    val cap = cfg.bucketCap
+    val hamMax = cfg.hammingMax
+    val sentinel = BucketRow(Int.MinValue, Long.MinValue, "")
+    bk.repartition(col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket", "image_id")
+      .mapPartitions { it =>
+        val ids = new scala.collection.mutable.ArrayBuffer[String](64)
+        val pls = new scala.collection.mutable.ArrayBuffer[Long](64)
+        var curBand = Int.MinValue
+        var curBucket = Long.MinValue
+        var first = true
+        def srcbitOf(band: Int): Int =
+          if (band < BandPhash) SrcMinhash
+          else if (band < BandSubstr) SrcPhash
+          else if (band < BandExactSha) SrcSubstr
+          else SrcExact
+        def flush(): Iterator[(String, String, Int)] = {
+          if (ids.length < 2) Iterator.empty
+          else {
+            val sb = srcbitOf(curBand)
+            // hamming-LSH bands: reject far pairs HERE, before they hit
+            // the pair-dedup shuffle (bucket key saturation makes random
+            // collisions ~n^2/keyspace at scale)
+            val hamBand = sb == SrcPhash
+            val m = ids.toArray // sorted by construction
+            val p = pls.toArray
+            val base =
+              if (m.length <= cap)
+                for (i <- m.indices.iterator; j <- (i + 1) until m.length
+                     if !hamBand || Sig.hamming(p(i), p(j)) <= hamMax)
+                  yield (m(i), m(j), sb)
+              else
+                (1 until m.length).iterator
+                  .filter(j => !hamBand || Sig.hamming(p(0), p(j)) <= hamMax)
+                  .map(j => (m(0), m(j), sb))
+            base
+          }
+        }
+        (it ++ Iterator(sentinel)).flatMap { r =>
+          if (first || r.band != curBand || r.bucket != curBucket) {
+            val out = if (first) Iterator.empty else flush()
+            first = false
+            curBand = r.band
+            curBucket = r.bucket
+            ids.clear()
+            pls.clear()
+            if (r.image_id.nonEmpty) { ids += r.image_id; pls += r.payload }
+            out
+          } else {
+            ids += r.image_id
+            pls += r.payload
+            Iterator.empty
+          }
+        }
+      }
+      .toDF("id1", "id2", "srcbit")
       .groupBy("id1", "id2")
-      .agg(min("src").as("src"))
+      .agg(expr("cast(bit_or(srcbit) as int)").as("srcmask"))
+      .withColumn("src",
+        when(col("srcmask").bitwiseAND(SrcExact) =!= 0, "exact")
+          .when(col("srcmask").bitwiseAND(SrcMinhash) =!= 0, "minhash")
+          .when(col("srcmask").bitwiseAND(SrcSubstr) =!= 0, "substr")
+          .otherwise("phash"))
   }
 
   /** Stage 4 — verification with the EXACT oracle predicates (same
@@ -156,37 +217,68 @@ object DedupPipeline {
     val spark = cand.sparkSession
     import spark.implicits._
 
+    // FAST PATH: pairs that are phash-band candidates ONLY (typically
+    // the bulk — perceptual-hash spaces are dense) get a narrow
+    // hamming pre-filter joining just (id, phash); only survivors pay
+    // the caption-carrying full join. bit_count is a codegen'd builtin.
+    val phOnlyIn = cand.filter(col("srcmask") === SrcPhash)
+    val restIn = cand.filter(col("srcmask") =!= SrcPhash)
+    val ph = sigs.select(col("image_id"), col("phash"))
+    val phKept = phOnlyIn
+      .join(ph.toDF("id1", "phash_1"), "id1")
+      .join(ph.toDF("id2", "phash_2"), "id2")
+      .filter(expr("bit_count(phash_1 ^ phash_2)") <= cfg.hammingMax)
+      .select("id1", "id2", "src")
+    val toFull = restIn.select("id1", "id2", "src").union(phKept)
+
     val s1 = sigs.select(
       col("image_id").as("id1"), col("sha").as("sha_1"), col("pixsha").as("pixsha_1"),
       col("phash").as("phash_1"), col("caption").as("cap_1"))
     val s2 = sigs.select(
       col("image_id").as("id2"), col("sha").as("sha_2"), col("pixsha").as("pixsha_2"),
       col("phash").as("phash_2"), col("caption").as("cap_2"))
-    val joined = cand.join(s1, "id1").join(s2, "id2")
+    val joined = toFull.join(s1, "id1").join(s2, "id2")
 
     val mid = joined
       .select("id1", "id2", "src", "sha_1", "sha_2", "pixsha_1", "pixsha_2",
         "phash_1", "phash_2", "cap_1", "cap_2")
       .as[(String, String, String, String, String, String, String, Long, Long, String, String)]
-      .map { case (id1, id2, src, shaA, shaB, pixA, pixB, phA, phB, capA, capB) =>
-        val ham = Sig.hamming(phA, phB)
-        val ja = Sig.jaccard(
-          Sig.shingleHashes(capA, cfg.shingleSize),
-          Sig.shingleHashes(capB, cfg.shingleSize))
-        val la = capA.toLowerCase
-        val lb = capB.toLowerCase
-        val substr =
-          (la.length >= cfg.substrMinChars && lb.contains(la) && la != lb) ||
-          (lb.length >= cfg.substrMinChars && la.contains(lb) && la != lb)
-        val verdict =
-          if (shaA == shaB) "exact"
-          else if (ja >= cfg.jaccardMin) "caption"
-          else if (substr) "substr"
-          else if (pixA == pixB) "pixel" // identical decoded pixels: PSNR = inf
-          else ""
-        val needPixel = verdict.isEmpty && ham <= cfg.hammingMax
-        Mid(id1, id2, src, ja, ham, verdict, needPixel)
+      .mapPartitions { it =>
+        // per-partition memo: pairs arrive grouped by id1 (post-shuffle),
+        // so each caption's shingle set is computed ~once, not per pair;
+        // identical boilerplate captions (hot clusters) also dedupe here
+        val memo = new java.util.HashMap[String, Array[Long]]()
+        def shingles(cap: String): Array[Long] = {
+          if (memo.size > 100000) memo.clear()
+          var r = memo.get(cap)
+          if (r == null) { r = Sig.shingleHashes(cap, cfg.shingleSize); memo.put(cap, r) }
+          r
+        }
+        it.map { case (id1, id2, src, shaA, shaB, pixA, pixB, phA, phB, capA, capB) =>
+          val ham = Sig.hamming(phA, phB)
+          val ja =
+            if (shaA == shaB) 1.0 // identical bytes+caption
+            else Sig.jaccard(shingles(capA), shingles(capB))
+          val la = capA.toLowerCase
+          val lb = capB.toLowerCase
+          val substr =
+            (la.length >= cfg.substrMinChars && lb.contains(la) && la != lb) ||
+            (lb.length >= cfg.substrMinChars && la.contains(lb) && la != lb)
+          val verdict =
+            if (shaA == shaB) "exact"
+            else if (ja >= cfg.jaccardMin) "caption"
+            else if (substr) "substr"
+            else if (pixA == pixB) "pixel" // identical decoded pixels: PSNR = inf
+            else ""
+          val needPixel = verdict.isEmpty && ham <= cfg.hammingMax
+          Mid(id1, id2, src, ja, ham, verdict, needPixel)
+        }
       }
+      // two consumers (settled + pixel side-join) in ONE downstream job
+      // — persist AND materialize eagerly, otherwise the union's
+      // subplans race and each computes the caption joins
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    mid.count() // eager: see comment above
 
     val settled = mid.filter(_.verdict.nonEmpty).map(m =>
       VerifiedPair(m.id1, m.id2, m.src, m.jaccard, m.hamming,
@@ -226,12 +318,22 @@ object DedupPipeline {
   }
 
   /** Whole pipeline in one call (no checkpointing — see StageRunner for
-    * the checkpointed/resumable form). */
+    * the checkpointed/resumable form). Signatures are persisted: three
+    * consumers (bucket postings, both verify sides) would otherwise
+    * recompute the most expensive narrow stage; spill-safe via
+    * MEMORY_AND_DISK_SER. */
   def run(images: Dataset[ImageRow], cfg: DedupConfig): Dataset[ClusterRow] = {
-    val sigs = signatures(images, cfg)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sigs = signatures(images, cfg).persist(lvl)
     val bk = buckets(sigs, cfg)
-    val cand = candidates(bk, cfg)
+    // candidates has TWO consumers in verify (fast-path filter + rest);
+    // eagerly materialize so the grouping shuffle runs once
+    val cand = candidates(bk, cfg).persist(lvl)
+    cand.count()
     val ver = verify(cand, sigs, images, cfg)
-    clusters(images, ver)
+    val out = clusters(images, ver)
+    sigs.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
+    out
   }
 }

@@ -76,17 +76,60 @@ object Sig {
     else Array.tabulate(t.length - k + 1)(i => t.slice(i, i + k).mkString(" "))
   }
 
-  /** Hashed shingle set (distinct) — what MinHash and exact Jaccard see. */
-  def shingleHashes(text: String, k: Int): Array[Long] = {
-    val sh = wordShingles(text, k)
-    val set = new java.util.TreeSet[java.lang.Long]()
+  /** Per-token 64-bit hashes: single pass over the chars (lowercased,
+    * letter/digit runs = tokens) — no regex, no String allocation.
+    * The hot path of the whole dedup engine: called twice per verified
+    * pair; the regex/TreeSet formulation cost ~70us/call (131s for
+    * 1M pairs at 100k-image scale), this is ~1-2us. */
+  def tokenHashes(text: String): Array[Long] = {
+    val n = text.length
+    var out = new Array[Long](math.max(4, n / 5))
+    var m = 0
     var i = 0
-    while (i < sh.length) { set.add(hash64(sh(i))); i += 1 }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    out
+    while (i < n) {
+      while (i < n && !Character.isLetterOrDigit(text.charAt(i))) i += 1
+      if (i < n) {
+        var h = 0xcbf29ce484222325L
+        while (i < n && Character.isLetterOrDigit(text.charAt(i))) {
+          h = (h ^ Character.toLowerCase(text.charAt(i)).toLong) * 0x100000001b3L
+          i += 1
+        }
+        if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+        out(m) = mix64(h)
+        m += 1
+      }
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Hashed k-shingle set (distinct, sorted) — what MinHash and exact
+    * Jaccard see. Shingle hash = chained mix of k consecutive token
+    * hashes (order-sensitive); captions shorter than k tokens yield one
+    * whole-caption shingle (empty-segment sentinel analog,
+    * src/index/sampling_method.c:67-72). */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val t = tokenHashes(text)
+    if (t.length == 0) return Array(hash64(""))
+    val nsh = if (t.length <= k) 1 else t.length - k + 1
+    val win = math.min(k, t.length)
+    val sh = new Array[Long](nsh)
+    var i = 0
+    while (i < nsh) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < win) { h = (h ^ t(i + j)) * 0x100000001b3L; j += 1 }
+      sh(i) = mix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(sh)
+    // dedupe in place
+    var m = 0
+    i = 0
+    while (i < nsh) {
+      if (m == 0 || sh(m - 1) != sh(i)) { sh(m) = sh(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(sh, m)
   }
 
   // ---------------- MinHash ----------------
@@ -168,6 +211,51 @@ object Sig {
   }
 
   @inline def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Block-combination hamming LSH: split the 64-bit hash into `blocks`
+    * equal slices and emit one key per `combo`-subset of slices.
+    * Pigeonhole: h flipped bits dirty at most h blocks, so for
+    * h <= blocks - combo at least one emitted subset is clean on both
+    * sides — guaranteed candidate generation for hamming <= blocks-combo
+    * with keys of combo*width bits (selective buckets at scale, unlike
+    * single-slice banding whose 64/bands-bit keys saturate).
+    * Defaults (9,3) guarantee hamming <= 6 with 21-bit keys.
+    */
+  def hammingComboKeys(bits0: Long, blocks: Int = 9, combo: Int = 3): Array[Long] = {
+    // fixed bit permutation j -> (23*j) mod 64 BEFORE slicing: perceptual
+    // hashes have spatially-correlated neighboring bits, so slices of
+    // consecutive bits concentrate on few values (measured: 10M+
+    // all-pairs candidates at 100k rows); spreading decorrelates slice
+    // values. A fixed permutation preserves the pigeonhole guarantee.
+    var bits = 0L
+    var j = 0
+    while (j < 64) {
+      if (((bits0 >>> ((j * 23) & 63)) & 1L) == 1L) bits |= (1L << j)
+      j += 1
+    }
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    val slices = Array.tabulate(blocks)(i => (bits >>> (i * width)) & mask)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val idx = new Array[Int](combo)
+    def rec(start: Int, d: Int): Unit = {
+      if (d == combo) {
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < combo) {
+          h = (h ^ idx(i)) * 0x100000001b3L
+          h = (h ^ slices(idx(i))) * 0x100000001b3L
+          i += 1
+        }
+        out += mix64(h)
+      } else {
+        var s = start
+        while (s <= blocks - (combo - d)) { idx(d) = s; rec(s + 1, d + 1); s += 1 }
+      }
+    }
+    rec(0, 0)
+    out.toArray
+  }
 
   // ---------------- SimHash ----------------
 

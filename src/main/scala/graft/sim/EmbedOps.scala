@@ -96,15 +96,21 @@ object EmbedOps {
         code
       }
     })
-    val postings = e.select(col("vec_id"), col("v"),
+    // postings carry ONLY ids — the candidate join and pair-dedup must
+    // never shuffle the vectors themselves (at 16 tables the pair
+    // stream is ~16x the deduped pair count; carrying two 64-dim
+    // vectors through it multiplied shuffle bytes ~60x)
+    val postings = e.select(col("vec_id"),
       posexplode(codesU(col("v"))).as(Seq("band", "bucket")))
-    val a = postings.select(col("band"), col("bucket"), col("vec_id"), col("v").as("va"))
-    val b = postings.select(col("band"), col("bucket"),
-      col("vec_id").as("neighbor_id"), col("v").as("vb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
-    a.join(b, Seq("band", "bucket"))
+    val a = postings.select(col("band"), col("bucket"), col("vec_id"))
+    val b = postings.select(col("band"), col("bucket"), col("vec_id").as("neighbor_id"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .select("vec_id", "neighbor_id", "va", "vb").distinct()
+      .select("vec_id", "neighbor_id").distinct()
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+    pairs
+      .join(e.select(col("vec_id"), col("v").as("va")), "vec_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb")), "neighbor_id")
       .withColumn("cos", round(cosine("va", "vb"), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -27,13 +27,17 @@ object CorpusGen {
   private val W = 24
   private val H = 24
 
-  /** Deterministic vocabulary: 512 CV-syllable words. */
+  /** Deterministic vocabulary: 4096 CV-syllable words. Size matters for
+    * realism: a 512-word Zipf^2 vocabulary made exact 3-word runs repeat
+    * so often that winnowed substring fingerprints produced ~17M
+    * false candidate pairs at 750k captions — natural-language caption
+    * corpora share exact 16-char runs orders of magnitude less. */
   val vocab: Array[String] = {
     val cons = "bcdfgklmnprstvz"
     val vow = "aeiou"
-    val out = new Array[String](512)
+    val out = new Array[String](4096)
     var i = 0
-    while (i < 512) {
+    while (i < 4096) {
       val r = Sig.mix64(0x5eedL ^ i)
       val sb = new StringBuilder
       val syll = 2 + (((r >>> 8) % 2).toInt + 2) % 2
@@ -56,31 +60,40 @@ object CorpusGen {
   private val boilerplate =
     "stock photo no description available copyright watermark image placeholder thumbnail preview"
 
-  /** Zipf-ish word pick. */
+  /** Zipf-ish word pick (power 1.5 over 4096 words). */
   private def pickWord(rng: java.util.Random): String =
-    vocab((vocab.length * math.pow(rng.nextDouble(), 2.0)).toInt.min(vocab.length - 1))
+    vocab((vocab.length * math.pow(rng.nextDouble(), 1.5)).toInt.min(vocab.length - 1))
 
   private def genCaption(rng: java.util.Random, nWords: Int): String =
     Array.fill(nWords)(pickWord(rng)).mkString(" ")
 
-  /** Smooth-ish deterministic pixel field: random gradients + 2 sine
-    * waves + mild noise — keeps phash stable under small jitter while
-    * separating distinct bases.
+  /** Deterministic pixel field: random gradients + sines + PER-IMAGE
+    * random 8x8 block offsets + mild noise. The block offsets matter:
+    * without them, smooth gradients make average-hash block means
+    * heavily correlated ACROSS images (~0.1% of all pairs landed within
+    * hamming 6 — pathological candidate density no real DCT-phash
+    * corpus has). Offsets of +-60 put each block far from the phash
+    * threshold, so the hash is image-specific yet stable under the
+    * <=2% pixel jitter of the planted dup class.
     */
   private def genPixels(rng: java.util.Random): Array[Byte] = {
-    val gx = rng.nextDouble() * 8 - 4
-    val gy = rng.nextDouble() * 8 - 4
+    val gx = rng.nextDouble() * 4 - 2
+    val gy = rng.nextDouble() * 4 - 2
     val fx = 0.1 + rng.nextDouble() * 0.6
     val fy = 0.1 + rng.nextDouble() * 0.6
     val ph = rng.nextDouble() * math.Pi * 2
-    val base = 60 + rng.nextInt(120)
+    val base = 80 + rng.nextInt(90)
+    val blockOff = Array.fill(64)(rng.nextInt(161) - 80)
     val rgb = new Array[Byte](W * H * 3)
     var y = 0
     while (y < H) {
+      val by = math.min(7, y * 8 / H)
       var x = 0
       while (x < W) {
+        val bx = math.min(7, x * 8 / W)
         val v = base + gx * x + gy * y +
-          60 * math.sin(fx * x + ph) + 60 * math.cos(fy * y + ph)
+          30 * math.sin(fx * x + ph) + 30 * math.cos(fy * y + ph) +
+          blockOff(by * 8 + bx)
         var c = 0
         while (c < 3) {
           val chan = v + c * 17 + rng.nextInt(5)

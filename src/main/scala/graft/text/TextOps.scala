@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * the only shuffles are the LSH bucket joins and the final groupBys,
   * all equi-keyed and AQE-managed.
   */
-object TextOps {
+object TextOps extends Serializable {
 
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -106,21 +106,23 @@ object TextOps {
   }
 
   /** Candidate pairs from any (band,bucket) posting table, with the
-    * CAP-analog cap: all-pairs below `bucketCap`, star pairs above. */
+    * CAP-analog cap: all-pairs below `bucketCap`, star pairs above —
+    * one shuffle + local pair expansion from the grouped member list
+    * (see DedupPipeline.candidates for the rationale). */
   def bucketPairs(postings: DataFrame, bucketCap: Int): DataFrame = {
-    val sizes = postings.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("sz"), min("doc_id").as("rep"))
-      .filter(col("sz") >= 2)
-    val withSz = postings.join(sizes, Seq("band", "bucket"))
-    val small = withSz.filter(col("sz") <= bucketCap)
-      .select(col("band"), col("bucket"), col("doc_id"))
-    val smallPairs = small.as("a")
-      .join(small.withColumnRenamed("doc_id", "id2").as("b"), Seq("band", "bucket"))
-      .filter(col("doc_id") < col("id2"))
-      .select(col("doc_id").as("id1"), col("id2"))
-    val hotPairs = withSz.filter(col("sz") > bucketCap && col("doc_id") =!= col("rep"))
-      .select(col("rep").as("id1"), col("doc_id").as("id2"))
-    smallPairs.union(hotPairs).distinct()
+    val allPairs = expr(
+      "flatten(transform(members, (x, i) -> " +
+        "transform(slice(members, i + 2, size(members)), y -> struct(x AS id1, y AS id2))))")
+    val starPairs = expr(
+      "transform(slice(members, 2, size(members) - 1), " +
+        "y -> struct(members[0] AS id1, y AS id2))")
+    postings.groupBy("band", "bucket")
+      .agg(sort_array(collect_list("doc_id")).as("members"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(
+        when(size(col("members")) <= bucketCap, allPairs).otherwise(starPairs)).as("pair"))
+      .select(col("pair.id1"), col("pair.id2"))
+      .distinct()
   }
 
   /** MinHash+LSH near-dup clusters over documents: shingle → minhash →
@@ -147,12 +149,12 @@ object TextOps {
   /** SimHash near-dup pairs: 64-bit simhash over token hashes,
     * hamming-band LSH, verified hamming <= max. Returns
     * (id1, id2, hamming). */
-  def simhashDedup(spark: SparkSession, dir: String, bands: Int = 8,
+  def simhashDedup(spark: SparkSession, dir: String,
       hammingMax: Int = 6): DataFrame = {
     val d = docs(spark, dir)
     val sim = udf((text: String) => Sig.simhash64(Sig.shingleHashes(text, 2), null))
     val sigs = d.select(col("doc_id"), sim(col("text")).as("simhash"))
-    val bandU = udf((s: Long) => Sig.hammingBandKeys(s, bands))
+    val bandU = udf((s: Long) => Sig.hammingComboKeys(s, 9, 3))
     val postings = sigs.select(col("doc_id"), posexplode(bandU(col("simhash"))).as(Seq("band", "bucket")))
     val cand = bucketPairs(postings, 64)
     val s1 = sigs.select(col("doc_id").as("id1"), col("simhash").as("sim1"))

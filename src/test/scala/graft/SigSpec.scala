@@ -44,16 +44,21 @@ class SigSpec extends AnyFunSuite {
     assert(Sig.minhash(a, cfg).toSeq == Sig.minhash(a.clone(), cfg).toSeq)
   }
 
-  test("band keys: equal signatures share all bands; pigeonhole for hamming bands") {
+  test("band keys: equal signatures share all bands; combo pigeonhole for hamming <= 6") {
     val sig = Array.tabulate(cfg.minhashK)(i => Sig.mix64(i))
     assert(Sig.bandKeys(sig, cfg).toSeq == Sig.bandKeys(sig.clone(), cfg).toSeq)
-    // hamming <= 6 with 8 bands of 8 bits: at least one shared slice
-    val x = 0x123456789abcdef0L
-    var flipped = x
-    Seq(1, 9, 17, 25, 33, 41).foreach(b => flipped ^= (1L << b)) // 6 flips
-    val bx = Sig.hammingBandKeys(x, cfg.phashBands)
-    val bf = Sig.hammingBandKeys(flipped, cfg.phashBands)
-    assert(bx.zip(bf).exists { case (u, v) => u == v })
+    // any 6 bit flips: 9 blocks choose 3 must still share a combo key
+    val rng = new java.util.Random(3)
+    (0 until 500).foreach { _ =>
+      val x = rng.nextLong()
+      var flipped = x
+      val nf = 1 + rng.nextInt(6)
+      (0 until nf).foreach(_ => flipped ^= (1L << rng.nextInt(64)))
+      val bx = Sig.hammingComboKeys(x, cfg.phashBlocks, cfg.phashCombo).toSet
+      val bf = Sig.hammingComboKeys(flipped, cfg.phashBlocks, cfg.phashCombo).toSet
+      assert(bx.intersect(bf).nonEmpty, f"x=$x%x flips=$nf")
+      assert(bx.size == 84) // C(9,3) distinct keys
+    }
   }
 
   test("winnowing guarantee: shared substring >= w+k-1 chars shares a fingerprint") {
