@@ -61,6 +61,11 @@ object DedupPipeline extends Serializable {
       it.map { r =>
         md.reset()
         md.update(r.bytes)
+        // length delimiter between the two fields: without it, distinct
+        // rows whose bytes/caption boundary shifts ("ab"/"c" vs "a"/"bc")
+        // would collide into the same exact-dup key
+        val len = r.bytes.length
+        md.update(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
         md.update(r.caption.getBytes("UTF-8"))
         val sha = hex(md.digest())
         val pix = Codec.decode(r.bytes, r.fmt)
@@ -140,58 +145,31 @@ object DedupPipeline extends Serializable {
     import spark.implicits._
     val cap = cfg.bucketCap
     val hamMax = cfg.hammingMax
-    val sentinel = BucketRow(Int.MinValue, Long.MinValue, "")
     bk.repartition(col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket", "image_id")
       .mapPartitions { it =>
-        val ids = new scala.collection.mutable.ArrayBuffer[String](64)
-        val pls = new scala.collection.mutable.ArrayBuffer[Long](64)
-        var curBand = Int.MinValue
-        var curBucket = Long.MinValue
-        var first = true
         def srcbitOf(band: Int): Int =
           if (band < BandPhash) SrcMinhash
           else if (band < BandSubstr) SrcPhash
           else if (band < BandExactSha) SrcSubstr
           else SrcExact
-        def flush(): Iterator[(String, String, Int)] = {
-          if (ids.length < 2) Iterator.empty
-          else {
-            val sb = srcbitOf(curBand)
+        graft.ops.PairGen.groupRuns[String, (String, String, Int)](
+          it.map(r => (r.band, r.bucket, r.image_id, r.payload)),
+          (band, _, m, p) => {
+            val sb = srcbitOf(band)
             // hamming-LSH bands: reject far pairs HERE, before they hit
             // the pair-dedup shuffle (bucket key saturation makes random
             // collisions ~n^2/keyspace at scale)
             val hamBand = sb == SrcPhash
-            val m = ids.toArray // sorted by construction
-            val p = pls.toArray
-            val base =
-              if (m.length <= cap)
-                for (i <- m.indices.iterator; j <- (i + 1) until m.length
-                     if !hamBand || Sig.hamming(p(i), p(j)) <= hamMax)
-                  yield (m(i), m(j), sb)
-              else
-                (1 until m.length).iterator
-                  .filter(j => !hamBand || Sig.hamming(p(0), p(j)) <= hamMax)
-                  .map(j => (m(0), m(j), sb))
-            base
-          }
-        }
-        (it ++ Iterator(sentinel)).flatMap { r =>
-          if (first || r.band != curBand || r.bucket != curBucket) {
-            val out = if (first) Iterator.empty else flush()
-            first = false
-            curBand = r.band
-            curBucket = r.bucket
-            ids.clear()
-            pls.clear()
-            if (r.image_id.nonEmpty) { ids += r.image_id; pls += r.payload }
-            out
-          } else {
-            ids += r.image_id
-            pls += r.payload
-            Iterator.empty
-          }
-        }
+            if (m.length <= cap)
+              for (i <- m.indices.iterator; j <- (i + 1) until m.length
+                   if !hamBand || Sig.hamming(p(i), p(j)) <= hamMax)
+                yield (m(i), m(j), sb)
+            else
+              (1 until m.length).iterator
+                .filter(j => !hamBand || Sig.hamming(p(0), p(j)) <= hamMax)
+                .map(j => (m(0), m(j), sb))
+          })
       }
       .toDF("id1", "id2", "srcbit")
       .groupBy("id1", "id2")
@@ -213,7 +191,18 @@ object DedupPipeline extends Serializable {
       cand: DataFrame,
       sigs: Dataset[SignatureRow],
       images: Dataset[ImageRow],
-      cfg: DedupConfig): Dataset[VerifiedPair] = {
+      cfg: DedupConfig): Dataset[VerifiedPair] =
+    verifyWithCleanup(cand, sigs, images, cfg)._1
+
+  /** verify() plus a cleanup thunk that unpersists the internal Mid
+    * cache — call it AFTER the returned dataset has been materialized
+    * (otherwise repeated pipeline invocations in one session accumulate
+    * cached blocks for the session's lifetime). */
+  private[graft] def verifyWithCleanup(
+      cand: DataFrame,
+      sigs: Dataset[SignatureRow],
+      images: Dataset[ImageRow],
+      cfg: DedupConfig): (Dataset[VerifiedPair], () => Unit) = {
     val spark = cand.sparkSession
     import spark.implicits._
 
@@ -300,7 +289,7 @@ object DedupPipeline extends Serializable {
       }
       .filter(_.verdict.nonEmpty)
 
-    settled.union(pixVerified)
+    (settled.union(pixVerified), () => { mid.unpersist(blocking = false); () })
   }
 
   /** Stage 5 — connected components + deterministic representative. */
@@ -321,7 +310,10 @@ object DedupPipeline extends Serializable {
     * the checkpointed/resumable form). Signatures are persisted: three
     * consumers (bucket postings, both verify sides) would otherwise
     * recompute the most expensive narrow stage; spill-safe via
-    * MEMORY_AND_DISK_SER. */
+    * MEMORY_AND_DISK_SER. The result is eagerly materialized (small:
+    * one row per image, three narrow columns) so every intermediate
+    * cache can be dropped before returning — repeated invocations in
+    * one session leak nothing. */
   def run(images: Dataset[ImageRow], cfg: DedupConfig): Dataset[ClusterRow] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val sigs = signatures(images, cfg).persist(lvl)
@@ -330,10 +322,11 @@ object DedupPipeline extends Serializable {
     // eagerly materialize so the grouping shuffle runs once
     val cand = candidates(bk, cfg).persist(lvl)
     cand.count()
-    val ver = verify(cand, sigs, images, cfg)
-    val out = clusters(images, ver)
+    val (ver, cleanupMid) = verifyWithCleanup(cand, sigs, images, cfg)
+    val out = clusters(images, ver).localCheckpoint() // eager
     sigs.unpersist(blocking = false)
     cand.unpersist(blocking = false)
+    cleanupMid()
     out
   }
 }

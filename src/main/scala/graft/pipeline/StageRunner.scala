@@ -22,9 +22,16 @@ final class StageRunner(
     spark: SparkSession,
     workDir: String,
     cfg: DedupConfig,
-    runId: String) {
+    runId: String,
+    inputKey: String = "") {
 
   val io = new TableIO(spark, workDir)
+  /** Stage key = config hash + input-identity fingerprint: a resumed
+    * run in the same workDir with a DIFFERENT corpus (but same config)
+    * must recompute, not silently return the previous run's tables —
+    * the analog of destor tying recipe/container stores to the backup
+    * job's trace. */
+  val stageKey: String = if (inputKey.isEmpty) cfg.configHash else s"${cfg.configHash}-$inputKey"
   private val lineageBuf = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
   private val metricsBuf = scala.collection.mutable.ArrayBuffer.empty[MetricRow]
   private val resumedStages = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -33,25 +40,23 @@ final class StageRunner(
     * DataFrame, so downstream stages always read the checkpoint (plans
     * never grow beyond one stage — bounded lineage at any scale). */
   def stage(name: String)(compute: => DataFrame): DataFrame = {
-    if (io.isPublished(name, cfg.configHash)) {
+    if (io.isPublished(name, stageKey)) {
       resumedStages += name
       metricsBuf += MetricRow(name, "resumed", 1.0, runId)
       return io.read(name)
     }
     val t0 = System.nanoTime()
-    val rows = io.publish(compute, name, cfg.configHash, runId)
+    // per-file row counts come from the publish's parquet footers
+    // (metadata only) — no post-write re-scan of the table
+    val (rows, perFile) = io.publishWithFiles(compute, name, stageKey, runId)
     val wallMs = (System.nanoTime() - t0) / 1000000
-    val published = io.read(name)
-    // per-partition lineage from the published parquet files
-    val perFile = published.groupBy(input_file_name().as("file")).count()
-      .collect().sortBy(_.getString(0))
-    lineageBuf ++= perFile.zipWithIndex.map { case (r, i) =>
-      LineageRow(name, i, r.getLong(1), wallMs, runId)
+    lineageBuf ++= perFile.zipWithIndex.map { case ((_, n), i) =>
+      LineageRow(name, i, n, wallMs, runId)
     }
     metricsBuf += MetricRow(name, "rows", rows.toDouble, runId)
     metricsBuf += MetricRow(name, "wall_ms", wallMs.toDouble, runId)
     metricsBuf += MetricRow(name, "rows_per_sec", if (wallMs == 0) 0 else rows * 1000.0 / wallMs, runId)
-    published
+    io.read(name)
   }
 
   def stagesResumed: Seq[String] = resumedStages.toSeq
@@ -59,8 +64,8 @@ final class StageRunner(
   /** Publish accumulated lineage + metrics tables (call once at end). */
   def finish(): Unit = {
     import spark.implicits._
-    io.publish(lineageBuf.toSeq.toDF(), s"lineage_$runId", cfg.configHash, runId)
-    io.publish(metricsBuf.toSeq.toDF(), s"metrics_$runId", cfg.configHash, runId)
+    io.publish(lineageBuf.toSeq.toDF(), s"lineage_$runId", stageKey, runId)
+    io.publish(metricsBuf.toSeq.toDF(), s"metrics_$runId", stageKey, runId)
   }
 
   def metrics: Seq[MetricRow] = metricsBuf.toSeq
@@ -72,14 +77,28 @@ final class StageRunner(
   * ResumeSpec). */
 object CheckpointedPipeline {
 
+  /** @param datasetId optional caller-supplied input identity; when
+    *   absent, a fingerprint is computed from the input with one narrow
+    *   3-column aggregate (count + order-independent sum of row hashes
+    *   over id/caption/phash — `bytes` stays pruned out of the scan).
+    */
   def run(
       images: Dataset[ImageRow],
       cfg: DedupConfig,
       workDir: String,
-      runId: String): (DataFrame, StageRunner) = {
+      runId: String,
+      datasetId: Option[String] = None): (DataFrame, StageRunner) = {
     val spark = images.sparkSession
     import spark.implicits._
-    val runner = new StageRunner(spark, workDir, cfg, runId)
+    val inputKey = datasetId.getOrElse {
+      val r = images.toDF()
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(image_id, caption, phash))"))
+        .first()
+      val n = r.getLong(0)
+      val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+      java.lang.Long.toHexString(n ^ graft.signatures.Sig.mix64(h))
+    }
+    val runner = new StageRunner(spark, workDir, cfg, runId, inputKey)
 
     val imagesDf = runner.stage("images")(images.toDF())
     def imagesDs = imagesDf.as[ImageRow]
@@ -94,8 +113,18 @@ object CheckpointedPipeline {
     val cand = runner.stage("candidate_pairs")(
       DedupPipeline.candidates(buckets.as[BucketRow], cfg))
 
-    val verified = runner.stage("verified_pairs")(
-      DedupPipeline.verify(cand, sigsDs, imagesDs, cfg).toDF())
+    val verified = {
+      // verifyWithCleanup eagerly materializes its Mid cache, so it must
+      // only run inside the stage thunk (skipped entirely on resume)
+      var cleanupMid: () => Unit = () => ()
+      val published = runner.stage("verified_pairs") {
+        val (ver, cm) = DedupPipeline.verifyWithCleanup(cand, sigsDs, imagesDs, cfg)
+        cleanupMid = cm
+        ver.toDF()
+      }
+      cleanupMid() // stage publish materialized it; drop the Mid cache
+      published
+    }
 
     val clusters = runner.stage("clusters")(
       DedupPipeline.clusters(imagesDs, verified.as[VerifiedPair]).toDF())

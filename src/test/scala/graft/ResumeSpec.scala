@@ -53,6 +53,19 @@ class ResumeSpec extends AnyFunSuite {
     assert(metrics.exists(m => m.getString(0) == "clusters" && m.getString(1) == "rows"))
   }
 
+  test("same config, different corpus => full recompute (input fingerprint)") {
+    val dir = Files.createTempDirectory("graft-inputfp").toString
+    val (cl1, r1) = CheckpointedPipeline.run(CorpusGen.generate(spark, 10), cfg, dir, "runA")
+    assert(cl1.count() == 80 && r1.stagesResumed.isEmpty)
+    // same config, same workDir, DIFFERENT corpus: nothing may be reused
+    val (cl2, r2) = CheckpointedPipeline.run(CorpusGen.generate(spark, 12), cfg, dir, "runB")
+    assert(r2.stagesResumed.isEmpty, "stale checkpoints reused for a different input")
+    assert(cl2.count() == 96)
+    // and re-running the second corpus resumes everything
+    val (_, r3) = CheckpointedPipeline.run(CorpusGen.generate(spark, 12), cfg, dir, "runC")
+    assert(r3.stagesResumed.nonEmpty)
+  }
+
   test("interrupted publish leaves no half-visible table") {
     val dir = Files.createTempDirectory("graft-atomic").toString
     val io = new TableIO(spark, dir)
