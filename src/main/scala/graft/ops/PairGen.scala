@@ -30,7 +30,8 @@ object PairGen {
     */
   def groupRuns[I, T](
       it: Iterator[(Int, Long, I, Long)],
-      emit: (Int, Long, Array[I], Array[Long]) => Iterator[T])(
+      emit: (Int, Long, Array[I], Array[Long]) => Iterator[T],
+      minRun: Int = 2)(
       implicit ct: scala.reflect.ClassTag[I]): Iterator[T] = {
     val ids = new scala.collection.mutable.ArrayBuffer[I](64)
     val pls = new scala.collection.mutable.ArrayBuffer[Long](64)
@@ -38,7 +39,7 @@ object PairGen {
     var curBucket = 0L
     var open = false
     def flush(): Iterator[T] =
-      if (ids.length < 2) Iterator.empty
+      if (ids.length < minRun) Iterator.empty
       else emit(curBand, curBucket, ids.toArray, pls.toArray)
     val body = it.flatMap { case (band, bucket, id, payload) =>
       if (!open || band != curBand || bucket != curBucket) {

@@ -76,6 +76,7 @@ object EmbedOps {
     * before the (expensive) exact re-rank. */
   def annTopK(spark: SparkSession, dir: String, k: Int = 5,
       tables: Int = 16, kBits: Int = 4): DataFrame = {
+    import spark.implicits._
     val e = emb(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     val planesB = spark.sparkContext.broadcast(hyperplaneSig(64, tables * kBits))
@@ -100,21 +101,81 @@ object EmbedOps {
     // never shuffle the vectors themselves (at 16 tables the pair
     // stream is ~16x the deduped pair count; carrying two 64-dim
     // vectors through it multiplied shuffle bytes ~60x)
-    val postings = e.select(col("vec_id"),
+    // spread the posting build BEFORE the self-join: a small vector
+    // table reads as few input partitions, the tiny build side turns
+    // the join into a broadcast, and without this the entire
+    // multi-million-row bucket expansion runs in however many tasks the
+    // parquet split produced (measured: ONE 2.3 s task at sf0.1)
+    val par = spark.sparkContext.defaultParallelism
+    val postings = e.repartition(par).select(col("vec_id"),
       posexplode(codesU(col("v"))).as(Seq("band", "bucket")))
     val a = postings.select(col("band"), col("bucket"), col("vec_id"))
     val b = postings.select(col("band"), col("bucket"), col("vec_id").as("neighbor_id"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    val rawPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .select("vec_id", "neighbor_id").distinct()
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
-    pairs
-      .join(e.select(col("vec_id"), col("v").as("va")), "vec_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb")), "neighbor_id")
-      .withColumn("cos", round(cosine("va", "vb"), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("vec_id", "neighbor_id", "rk", "cos")
+      .select("vec_id", "neighbor_id")
+    // Dedup-across-tables + exact re-rank + top-k in ONE shuffle: the
+    // raw (multi-table, duplicated) candidate stream is partitioned by
+    // vec_id and sorted, then a linear scan per vector dedups neighbors
+    // with a hash set, computes cosine as a primitive double loop over
+    // broadcast vectors, and keeps a bounded k-heap. Round 1 ran this
+    // as distinct + two vector-carrying joins + interpreted `aggregate`
+    // lambdas + a window rank — three exchanges and ~8 s at 2.5k
+    // vectors; this is one exchange and no vector ever enters a
+    // shuffle. The broadcast is the same side-table pattern Catalyst
+    // picks for a dim join; for corpora too big to broadcast,
+    // co-partition vectors on vec_id and join — the banding math is
+    // unchanged (kBits already scales bucket sizes with log2 n).
+    val vecB = spark.sparkContext.broadcast(
+      e.as[(Long, Array[Double])].collect().toMap)
+    rawPairs
+      .repartition(col("vec_id"))
+      .sortWithinPartitions("vec_id", "neighbor_id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val m = vecB.value
+        def cos(i: Long, j: Long): Double = {
+          val va = m(i); val vb = m(j)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var x = 0
+          val n = math.min(va.length, vb.length)
+          while (x < n) { dot += va(x) * vb(x); na += va(x) * va(x); nb += vb(x) * vb(x); x += 1 }
+          BigDecimal(dot / math.sqrt(na * nb))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        graft.ops.PairGen.groupRuns[Long, (Long, Long, Int, Double)](
+          it.map { case (v, nb) => (0, v, nb, 0L) },
+          (_, vecId, neighbors, _) => {
+            // neighbors arrive sorted; dedup is a linear uniq, top-k a
+            // bounded insertion into a k-sized array (k is tiny)
+            val topN = new Array[Long](k)
+            val topC = new Array[Double](k)
+            var filled = 0
+            var prev = Long.MinValue
+            var i = 0
+            while (i < neighbors.length) {
+              val nb = neighbors(i)
+              if (nb != prev) {
+                prev = nb
+                val c = cos(vecId, nb)
+                // insertion position by (cos desc, neighbor asc)
+                var p = filled
+                while (p > 0 && (topC(p - 1) < c || (topC(p - 1) == c && topN(p - 1) > nb))) p -= 1
+                if (p < k) {
+                  val last = math.min(filled, k - 1)
+                  var q = last
+                  while (q > p) { topN(q) = topN(q - 1); topC(q) = topC(q - 1); q -= 1 }
+                  topN(p) = nb; topC(p) = c
+                  if (filled < k) filled += 1
+                }
+              }
+              i += 1
+            }
+            (0 until filled).iterator.map(r => (vecId, topN(r), r + 1, topC(r)))
+          },
+          minRun = 1) // a vector with a single candidate still gets its rk=1 row
+      }
+      .toDF("vec_id", "neighbor_id", "rk", "cos")
   }
 
   /** Label-centroid assignment: mean vector per label, then each
