@@ -28,5 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local-mode Spark = one JVM: the heap IS executor memory for all 32
   // task threads. 8g thrashes GC at local[32] on 100k-image runs.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // FIXED-SIZE heap (Xms == Xmx) is load-bearing on this kernel: with
+  // an adaptive heap, GC grow/shrink cycles mmap/munmap heap regions
+  // and the mm-lock churn serializes all 32 task threads (measured:
+  // 400k-image pipeline 217 s adaptive vs 21 s fixed at local[32];
+  // same pathology class as doc/shuffle-scaling-notes.md).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -66,6 +66,12 @@ object SparkEntry {
     // --- the image near-dup pipeline on the synthetic corpus ---
     "q_img_clusters" -> ((s, d) =>
       DedupPipeline.run(CorpusGen.generate(s, groupsFor(d)), cfg).toDF()),
+    // restore/round-trip fidelity (T1/T2/T5): rebuild every row from
+    // the content store and verify PSNR >= 40 dB + caption equality;
+    // the invariant holds at ANY corpus size, so the oracle is the
+    // constant zero-violations row.
+    "q_roundtrip_verify" -> ((s, d) =>
+      graft.pipeline.RestoreOps.roundTrip(CorpusGen.generate(s, groupsFor(d)), cfg)),
     "q_img_signatures" -> ((s, d) =>
       DedupPipeline.signatures(CorpusGen.generate(s, groupsFor(d)), cfg)
         .select(col("image_id"), col("sha"), col("simhash"), col("phash"), col("shingle_count"))),
@@ -176,6 +182,10 @@ object SparkEntry {
         |   AND contains(lower(b.text), lower(a.text)) AND lower(a.text) <> lower(b.text))
         |   OR (length(lower(b.text)) >= ${cfg.substrMinChars}
         |   AND contains(lower(a.text), lower(b.text)) AND lower(a.text) <> lower(b.text))""".stripMargin,
+    "q_roundtrip_verify" ->
+      """SELECT CAST(0 AS BIGINT) AS psnr_violations,
+        | CAST(0 AS BIGINT) AS caption_violations,
+        | CAST(1 AS BIGINT) AS all_restored""".stripMargin,
     "q_embed_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -4,22 +4,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over a pair/edge DataFrame by
-  * iterative min-label propagation with per-round pointer-doubling
-  * path compression — converges in O(log diameter) rounds, each round
-  * ONE materializing job (the convergence signal rides along as a
-  * `changed` column, so no separate join-and-count job per round; the
-  * follow-up aggregate only scans the just-checkpointed partitions).
+  * iterative min-label propagation. Each round is ONE aggregation:
+  * neighbor labels and self labels union into a `groupBy(id)` that
+  * computes the new label, the old label, and the convergence signal
+  * in the same pass — so a round costs a single exchange plus a cheap
+  * count over the just-checkpointed result (round 1 spent ~4 exchanges
+  * and a join-based convergence job per round; the loop was ~24
+  * driver-serialized stage-jobs at 100k images).
+  *
+  * Rounds needed = graph diameter + 1. In this engine's dedup workload
+  * the diameter is structurally small: hot buckets emit STAR pairs
+  * (PairGen cap — diameter 2) and natural near-dup chains are short,
+  * so propagation converges in a handful of rounds; `maxIter` is the
+  * safety valve for pathological chains (a pointer-doubling compress
+  * could be layered back if a real corpus ever produced one).
   *
   * The deterministic representative (component id = min vertex id) is
   * the analog of destor's first-occurrence-wins canonical chunk copy
   * (reference: src/index/index.c:282-315 `index_check_buffer` — an
   * earlier copy's id is adopted by all later copies).
   *
-  * Scale notes: every join is an equi-join on the label/vertex key, so
-  * Catalyst shuffles both sides on that key and AQE handles skew; no
-  * driver-side state beyond the per-round convergence counter. Lineage
-  * is truncated by `localCheckpoint` each round so plans stay O(1)
-  * deep at any scale. (On a real cluster prefer reliable
+  * Scale notes: every shuffle is keyed on the vertex id, AQE handles
+  * residual skew, and only edge-touching vertices iterate (singletons
+  * — the vast majority in a dedup corpus — are stitched back by the
+  * final left join). Lineage is truncated by `localCheckpoint` each
+  * round so plans stay O(1) deep. (On a real cluster prefer reliable
   * `sparkContext.setCheckpointDir` + `checkpoint()` so executor loss
   * mid-iteration does not kill the run; localCheckpoint is the
   * single-JVM fast path.)
@@ -43,41 +52,35 @@ object ConnectedComponents {
     * @param edges two-column DF `src`,`dst`
     * @return DF (id, component) where component = min id reachable
     */
-  def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    // pre-partition the (loop-invariant) bidirectional edge table by
+    // src so each round's propagate join only moves the label side
     val bidir = checkpointFresh(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+        .distinct()
+        .repartition(col("src")))
 
-    // iterate ONLY over vertices that appear in an edge — in a dedup
-    // workload the vast majority of rows are singletons and would just
-    // multiply every iteration's shuffle volume; they are stitched back
-    // (as their own component) by the final left join
     var labels = checkpointFresh(
       bidir.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // propagate: label'(v) = min(label(v), min over neighbors u of label(u))
+      // one pass: label'(v) = min(own label, neighbors' labels); the
+      // self row carries the old label so the convergence signal needs
+      // no extra join
       val msgs = bidir
         .join(labels.select(col("id").as("src"), col("label")), "src")
-        .select(col("dst").as("id"), col("label"))
-      val prop = labels.select("id", "label").union(msgs)
-        .groupBy("id").agg(min("label").as("label"))
-      // compress: label''(v) = label'(label'(v)) — pointer doubling.
-      // prop appears on both sides; its aggregation exchange is
-      // identical in both subtrees, so ReuseExchange shares the shuffle.
-      val compressed = prop.as("a")
-        .join(prop.select(col("id").as("label"), col("label").as("label2")).as("b"), Seq("label"), "left")
-        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-      // convergence signal computed IN the same materializing job: carry
-      // old label alongside; the count of changed rows is then a cheap
-      // scan of the checkpointed partitions (no extra join job).
+        .select(col("dst").as("id"), col("label"), lit(false).as("self"))
       val next = checkpointFresh(
-        compressed.as("n")
-          .join(labels.select(col("id"), col("label").as("old")), "id")
-          .select(col("id"), col("label"), (col("label") =!= col("old")).as("changed")))
+        labels.select(col("id"), col("label"), lit(true).as("self"))
+          .union(msgs)
+          .groupBy("id")
+          .agg(
+            min("label").as("label"),
+            min(when(col("self"), col("label"))).as("old"))
+          .select(col("id"), col("label"), (col("label") < col("old")).as("changed")))
       val nChanged = next.agg(sum(when(col("changed"), 1L).otherwise(0L))).first().get(0)
       labels = next.select("id", "label")
       converged = nChanged == null || nChanged.asInstanceOf[Long] == 0L

@@ -17,21 +17,29 @@ final case class DedupConfig(
     // --- shingling (analog of chunking, src/chunk_phase.c) ---
     shingleSize: Int = 3, // words per shingle (k-shingle)
     // --- MinHash (analog of min-sampling F1, src/index/sampling_method.c:12-75) ---
-    minhashK: Int = 128, // signature length
+    minhashK: Int = 96, // signature length
     minhashSeed1: Long = 0x9747b28cL,
     minhashSeed2: Long = 0x85ebca6bL,
     // --- LSH banding (analog of feature→segment kv index, src/index/kvstore_htable.c) ---
-    bands: Int = 32, // b bands ...
+    // S-curve 1-(1-j^r)^b at r=4: recall 0.9986 for j=0.7, 0.999994
+    // for j=0.8 (both comfortably above the 0.99 gate), while false
+    // positives at j=0.3 stay under 0.18. b=24 instead of round-1's 32
+    // cuts posting volume 25% and signature compute 25% — postings are
+    // the pipeline's largest shuffle, the binding resource at scale.
+    bands: Int = 24, // b bands ...
     rowsPerBand: Int = 4, // ... of r rows each; b*r == minhashK
     // --- SimHash / phash hamming (pixel-side signature) ---
     simhashBits: Int = 64,
     hammingMax: Int = 6, // max hamming distance for a phash dup
     // block-combination hamming LSH (Sig.hammingComboKeys): guarantees
-    // candidates for hamming <= phashBlocks - phashCombo (= hammingMax);
-    // combo keys are 21 bits, so buckets stay selective at bench scale.
-    // At 10^9+ rows raise phashCombo to 4 (guarantee 5) or blocks to 11.
-    phashBlocks: Int = 9,
-    phashCombo: Int = 3,
+    // candidates for hamming <= phashBlocks - phashCombo (= hammingMax).
+    // (8,2) emits C(8,2)=28 16-bit keys per image — 3x fewer postings
+    // than round-1's (9,3)=84, same guarantee. Bucket density rises
+    // with corpus size (~n/2^16 per band-combo); at 10^8+ rows move to
+    // (9,3) (21-bit keys) or (11,5) — the guarantee is blocks-combo,
+    // so keep it >= hammingMax when re-tuning.
+    phashBlocks: Int = 8,
+    phashCombo: Int = 2,
     // --- verification thresholds (the oracle uses these EXACT values) ---
     jaccardMin: Double = 0.8, // exact word-shingle Jaccard for caption dup
     psnrMin: Double = 40.0, // decoded-pixel PSNR gate (BASELINE.json input_hint)

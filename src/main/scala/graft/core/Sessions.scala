@@ -29,6 +29,22 @@ object Sessions {
       // writer + stream copy instead.
       .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.file.transferTo", "false")
+      // AQE's post-shuffle coalescing targets max(total/parallelism,
+      // minPartitionSize); the 1 MiB default floor collapses every
+      // few-MB intermediate shuffle to the SAME handful of partitions
+      // regardless of core count, flattening 8->32 scaling on mid-size
+      // stages. 64k keeps small-stage parallelism proportional to
+      // cores (at cluster data sizes the floor never binds anyway).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // Dedup joins are equi-joins on high-cardinality keys whose
+      // output never needs sort order: shuffled-hash beats sort-merge
+      // (SMJ's interpreted row comparator showed up as the top CPU
+      // frame in task sampling). AQE's skew handling covers SHJ too.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // 10 MiB is conservative for a 24 GiB+ single-JVM heap; 64 MiB
+      // lets the signature side-tables broadcast at bench scale (on a
+      // real cluster executors get the same heap headroom).
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

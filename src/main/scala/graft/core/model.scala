@@ -20,16 +20,20 @@ final case class ImageRow(
 
 /** Per-image signature bundle — the analog of a destor segment's sampled
   * feature set (`src/destor.h:298-304` + `src/index/sampling_method.c`).
-  * `minhash` is the K-permutation MinHash over caption shingles (F1
-  * min-sampling recast); `simhash` is a 64-bit SimHash over pixel
-  * features; `sha` is the exact-dup key (P8 SHA-1 fingerprinting,
-  * `src/hash_phase.c:8-38`).
+  * `bands` holds the b LSH band keys derived from the K-permutation
+  * MinHash over caption shingles (F1 min-sampling recast) — the full
+  * K-long signature is folded into band keys AT signature time because
+  * nothing downstream needs the raw signature (verify recomputes exact
+  * shingle Jaccard from captions), and storing b longs instead of K
+  * cuts the cached/broadcast signature row ~4x. `simhash` is a 64-bit
+  * SimHash over pixel features; `sha` is the exact-dup key (P8 SHA-1
+  * fingerprinting, `src/hash_phase.c:8-38`).
   */
 final case class SignatureRow(
     image_id: String,
     sha: String, // hex sha1 over (bytes ++ caption) — exact-dup identity
     pixsha: String, // hex sha1 over decoded RAW pixels — exact-pixel dup key
-    minhash: Array[Long],
+    bands: Array[Long], // LSH band keys of the caption MinHash
     simhash: Long,
     phash: Long,
     shingle_count: Int,

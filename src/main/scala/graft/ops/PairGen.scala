@@ -64,6 +64,24 @@ object PairGen {
     }
   }
 
+  /** Sort `ids` ascending, permuting `pls` alongside (both arrays are
+    * mutated in place). Used by pair emitters that sort bucket members
+    * LOCALLY: keeping the id out of the shuffle's sort key makes the
+    * Tungsten sort a single packed-long radix sort (zero comparator
+    * calls) instead of an interpreted multi-column TimSort — measured
+    * as the dominant CPU sink of the posting shuffle at 100k images.
+    */
+  def sortWithPayload[I](ids: Array[I], pls: Array[Long])(
+      implicit ord: Ordering[I], ct: scala.reflect.ClassTag[I]): Unit = {
+    val idx = Array.range(0, ids.length).sortBy(ids(_))
+    val ids2 = new Array[I](ids.length)
+    val pls2 = new Array[Long](pls.length)
+    var i = 0
+    while (i < idx.length) { ids2(i) = ids(idx(i)); pls2(i) = pls(idx(i)); i += 1 }
+    System.arraycopy(ids2, 0, ids, 0, ids.length)
+    System.arraycopy(pls2, 0, pls, 0, pls.length)
+  }
+
   /** CAP-capped pair emission from one bucket's sorted member array:
     * all pairs for buckets <= cap, star pairs to the min member above
     * it (linear fan-in for hot buckets; the star keeps the bucket one
@@ -85,14 +103,20 @@ object PairGen {
   def bucketPairsLong(postings: DataFrame, cap: Int): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
+    // ONE packed 64-bit shuffle/sort key instead of (band,bucket,id):
+    // the Tungsten sort becomes a pure radix sort; member ids are
+    // sorted locally per run. A key collision between two (band,bucket)
+    // buckets merely merges them — candidates only gain members and
+    // every caller verifies pairs exactly, so recall and correctness
+    // are unaffected.
     postings
-      .select(col("band").cast("int"), col("bucket").cast("long"), col("doc_id").cast("long"))
-      .repartition(col("band"), col("bucket"))
-      .sortWithinPartitions("band", "bucket", "doc_id")
-      .as[(Int, Long, Long)]
+      .select(xxhash64(col("band"), col("bucket")).as("key"), col("doc_id").cast("long"))
+      .repartition(col("key"))
+      .sortWithinPartitions("key")
+      .as[(Long, Long)]
       .mapPartitions { it =>
-        groupRuns[Long, (Long, Long)](it.map(r => (r._1, r._2, r._3, 0L)),
-          (_, _, ids, _) => capPairs(ids, cap))
+        groupRuns[Long, (Long, Long)](it.map(r => (0, r._1, r._2, 0L)),
+          (_, _, ids, _) => { java.util.Arrays.sort(ids); capPairs(ids, cap) })
       }
       .toDF("id1", "id2")
       .distinct()

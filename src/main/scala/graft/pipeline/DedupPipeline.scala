@@ -77,7 +77,7 @@ object DedupPipeline extends Serializable {
           image_id = r.image_id,
           sha = sha,
           pixsha = pixsha,
-          minhash = Sig.minhash(shingles, cfg),
+          bands = Sig.bandKeys(Sig.minhash(shingles, cfg), cfg),
           simhash = Sig.simhash64(shingles, null),
           phash = r.phash,
           shingle_count = shingles.length,
@@ -97,7 +97,7 @@ object DedupPipeline extends Serializable {
     import spark.implicits._
     sigs.flatMap { s =>
       val out = scala.collection.mutable.ArrayBuffer.empty[BucketRow]
-      val bk = Sig.bandKeys(s.minhash, cfg)
+      val bk = s.bands
       var b = 0
       while (b < bk.length) { out += BucketRow(b, bk(b), s.image_id); b += 1 }
       val pk = Sig.hammingComboKeys(s.phash, cfg.phashBlocks, cfg.phashCombo)
@@ -145,8 +145,19 @@ object DedupPipeline extends Serializable {
     import spark.implicits._
     val cap = cfg.bucketCap
     val hamMax = cfg.hammingMax
-    bk.repartition(col("band"), col("bucket"))
-      .sortWithinPartitions("band", "bucket", "image_id")
+    // ONE packed 64-bit shuffle/sort key: the Tungsten sort is then a
+    // pure radix sort (zero comparator calls — the interpreted
+    // (band,bucket,image_id) TimSort was the dominant CPU sink of this
+    // stage); member ids sort locally per run. Key collisions merge
+    // two buckets: candidates only gain members, verify is exact, so
+    // correctness/recall are unaffected. `band` rides along for the
+    // srcbit and as a group tie-break under collisions.
+    bk.select(
+        xxhash64(col("band"), col("bucket")).as("key"),
+        col("band"), col("image_id"), col("payload"))
+      .repartition(col("key"))
+      .sortWithinPartitions("key", "band")
+      .as[(Long, Int, String, Long)]
       .mapPartitions { it =>
         def srcbitOf(band: Int): Int =
           if (band < BandPhash) SrcMinhash
@@ -154,8 +165,9 @@ object DedupPipeline extends Serializable {
           else if (band < BandExactSha) SrcSubstr
           else SrcExact
         graft.ops.PairGen.groupRuns[String, (String, String, Int)](
-          it.map(r => (r.band, r.bucket, r.image_id, r.payload)),
+          it.map { case (key, band, id, payload) => (band, key, id, payload) },
           (band, _, m, p) => {
+            graft.ops.PairGen.sortWithPayload(m, p)
             val sb = srcbitOf(band)
             // hamming-LSH bands: reject far pairs HERE, before they hit
             // the pair-dedup shuffle (bucket key saturation makes random
@@ -206,19 +218,14 @@ object DedupPipeline extends Serializable {
     val spark = cand.sparkSession
     import spark.implicits._
 
-    // FAST PATH: pairs that are phash-band candidates ONLY (typically
-    // the bulk — perceptual-hash spaces are dense) get a narrow
-    // hamming pre-filter joining just (id, phash); only survivors pay
-    // the caption-carrying full join. bit_count is a codegen'd builtin.
-    val phOnlyIn = cand.filter(col("srcmask") === SrcPhash)
-    val restIn = cand.filter(col("srcmask") =!= SrcPhash)
-    val ph = sigs.select(col("image_id"), col("phash"))
-    val phKept = phOnlyIn
-      .join(ph.toDF("id1", "phash_1"), "id1")
-      .join(ph.toDF("id2", "phash_2"), "id2")
-      .filter(expr("bit_count(phash_1 ^ phash_2)") <= cfg.hammingMax)
-      .select("id1", "id2", "src")
-    val toFull = restIn.select("id1", "id2", "src").union(phKept)
+    // NOTE: no phash pre-filter join here — the pair generator already
+    // rejects hamming-far pairs AT EMISSION (candidates() checks
+    // Sig.hamming against payload phashes inside every hamming-LSH
+    // bucket), so every phash-only candidate that reaches verify is
+    // hamming-close by construction. Round 1 carried a redundant
+    // two-join bit_count pre-filter here; it filtered nothing and cost
+    // two exchanges plus a second consumer of `cand`.
+    val toFull = cand.select("id1", "id2", "src")
 
     val s1 = sigs.select(
       col("image_id").as("id1"), col("sha").as("sha_1"), col("pixsha").as("pixsha_1"),
@@ -259,7 +266,14 @@ object DedupPipeline extends Serializable {
             else if (substr) "substr"
             else if (pixA == pixB) "pixel" // identical decoded pixels: PSNR = inf
             else ""
-          val needPixel = verdict.isEmpty && ham <= cfg.hammingMax
+          // pixel evidence is computed for EVERY hamming-close pair
+          // with distinct pixels — including caption/substr-verdict
+          // pairs — so downstream content dedup (RestoreOps) can rely
+          // on psnr regardless of which cheaper predicate fired first
+          // (a lossy re-encode with an identical caption settles as
+          // "caption" but still needs its PSNR for the store).
+          val needPixel = ham <= cfg.hammingMax &&
+            verdict != "exact" && verdict != "pixel"
           Mid(id1, id2, src, ja, ham, verdict, needPixel)
         }
       }
@@ -269,27 +283,41 @@ object DedupPipeline extends Serializable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     mid.count() // eager: see comment above
 
-    val settled = mid.filter(_.verdict.nonEmpty).map(m =>
+    val settled = mid.filter(m => m.verdict.nonEmpty && !m.needPixel).map(m =>
       VerifiedPair(m.id1, m.id2, m.src, m.jaccard, m.hamming,
         if (m.verdict == "exact" || m.verdict == "pixel") 1e9 else 0.0, m.verdict))
 
-    // pixel-verify side-join: only hamming-close, otherwise-unverified pairs
-    val pix = images.select(col("image_id"), col("bytes"), col("fmt"))
+    // pixel-verify side-join: only hamming-close, otherwise-unverified
+    // pairs. The `bytes` column is scanned ONCE — a semi-join prunes
+    // the image scan to the ids any pending pair touches, and the
+    // (small) pruned set is materialized so the two per-side joins
+    // don't each re-scan and re-decompress the full corpus bytes
+    // column (the pipeline's widest column; round 1 scanned it twice).
     val needPix = mid.filter(_.needPixel).toDF()
+    val needIds = needPix.select(col("id1").as("image_id"))
+      .union(needPix.select(col("id2").as("image_id"))).distinct()
+    val pix = images.select(col("image_id"), col("bytes"), col("fmt"))
+      .join(needIds, "image_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    pix.count() // eager: two consumers below; without this both race to compute it
     val pixVerified = needPix
       .join(pix.select(col("image_id").as("id1"), col("bytes").as("bytes_1"), col("fmt").as("fmt_1")), "id1")
       .join(pix.select(col("image_id").as("id2"), col("bytes").as("bytes_2"), col("fmt").as("fmt_2")), "id2")
-      .select("id1", "id2", "src", "jaccard", "hamming", "bytes_1", "fmt_1", "bytes_2", "fmt_2")
-      .as[(String, String, String, Double, Int, Array[Byte], String, Array[Byte], String)]
-      .map { case (id1, id2, src, ja, ham, b1, f1, b2, f2) =>
+      .select("id1", "id2", "src", "jaccard", "hamming", "verdict", "bytes_1", "fmt_1", "bytes_2", "fmt_2")
+      .as[(String, String, String, Double, Int, String, Array[Byte], String, Array[Byte], String)]
+      .map { case (id1, id2, src, ja, ham, v0, b1, f1, b2, f2) =>
         val pa = Codec.decode(b1, f1)
         val pb = Codec.decode(b2, f2)
         val p = if (pa.length == pb.length) Codec.psnr(pa, pb) else 0.0
-        VerifiedPair(id1, id2, src, ja, ham, p, if (p >= cfg.psnrMin) "pixel" else "")
+        // an earlier (cheaper) verdict survives with its psnr recorded;
+        // an otherwise-unverified pair is a dup only past the PSNR gate
+        val verdict = if (v0.nonEmpty) v0 else if (p >= cfg.psnrMin) "pixel" else ""
+        VerifiedPair(id1, id2, src, ja, ham, p, verdict)
       }
       .filter(_.verdict.nonEmpty)
 
-    (settled.union(pixVerified), () => { mid.unpersist(blocking = false); () })
+    (settled.union(pixVerified),
+      () => { mid.unpersist(blocking = false); pix.unpersist(blocking = false); () })
   }
 
   /** Stage 5 — connected components + deterministic representative. */
@@ -318,14 +346,12 @@ object DedupPipeline extends Serializable {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val sigs = signatures(images, cfg).persist(lvl)
     val bk = buckets(sigs, cfg)
-    // candidates has TWO consumers in verify (fast-path filter + rest);
-    // eagerly materialize so the grouping shuffle runs once
-    val cand = candidates(bk, cfg).persist(lvl)
-    cand.count()
+    // single consumer (verify) — no persist needed; the grouping
+    // shuffle feeds straight into the verify joins in one query
+    val cand = candidates(bk, cfg)
     val (ver, cleanupMid) = verifyWithCleanup(cand, sigs, images, cfg)
     val out = clusters(images, ver).localCheckpoint() // eager
     sigs.unpersist(blocking = false)
-    cand.unpersist(blocking = false)
     cleanupMid()
     out
   }

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import graft.core._
+import graft.signatures.Codec
+import graft.cluster.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Restore — the inverse query: reconstruct every input row from the
+  * dedup store and verify the per-row fidelity invariant. This is the
+  * reference's own definition of correctness: a backup is correct iff
+  * restore reproduces the original bytes (reference: do_restore's
+  * recipe scan src/do_restore.c:68-111, chunk fetch :11-66, writer
+  * write_restore_data :113-189). Recast:
+  *
+  *   - content clusters: connected components over pairs whose verified
+  *     evidence is PIXEL-level (verdict "exact" or "pixel", each edge
+  *     individually PSNR >= psnrMin or byte-identical). Caption-only
+  *     dup pairs deliberately do NOT merge content — restoring a row's
+  *     pixels from a caption-dup would break the PSNR invariant.
+  *   - content store (container-store analog): the representative's
+  *     bytes per content cluster — the only place pixel bytes are kept.
+  *   - recipes (recipe-store analog): per image_id the content pointer
+  *     plus row metadata (caption, dims, fmt) — like destor's file
+  *     recipes carrying path/meta while data lives in containers.
+  *   - restore: recipes ⋈ content store (the shuffle replaces destor's
+  *     restore container cache, T2/T3).
+  *   - round-trip verify: restored ⋈ originals, then per-row
+  *     decoded-pixel PSNR >= psnrMin + caption equality — BASELINE.md's
+  *     per-row fidelity gate.
+  *
+  * Scale shape: everything is equi-joins on content_id/image_id; the
+  * only stage that touches `bytes` twice is the final verify join
+  * (original + restored side), both narrow column-pruned scans.
+  */
+object RestoreOps {
+
+  /** (image_id, content_id): pixel-evidence connected components;
+    * content_id = min image_id of the component (deterministic).
+    * An edge is pixel evidence iff byte/pixel-identical (verdict
+    * exact/pixel with psnr=inf) OR its measured PSNR passes the gate —
+    * the verify stage records psnr for every hamming-close pair even
+    * when a cheaper predicate (caption/substr) settled the verdict. */
+  def contentClusters(
+      images: Dataset[ImageRow],
+      verified: Dataset[VerifiedPair],
+      cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    val spark = images.sparkSession
+    val pixelEdges = verified
+      .filter(col("verdict").isin("exact", "pixel") || col("psnr") >= cfg.psnrMin)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    ConnectedComponents.run(spark, images.select(col("image_id").as("id")), pixelEdges)
+      .select(col("id").as("image_id"), col("component").as("content_id"))
+  }
+
+  /** Content store: one row of stored bytes per content cluster — the
+    * representative's. Join instead of a window so `bytes` only flows
+    * for the representative rows (semi-join prunes first). */
+  def contentStore(images: Dataset[ImageRow], cclusters: DataFrame): DataFrame =
+    images.select(col("image_id"), col("bytes"), col("fmt"), col("w"), col("h"))
+      .join(cclusters.filter(col("image_id") === col("content_id")).select("image_id"), "image_id")
+      .withColumnRenamed("image_id", "content_id")
+      .select(col("content_id"), col("bytes").as("stored_bytes"), col("fmt").as("stored_fmt"),
+        col("w").as("stored_w"), col("h").as("stored_h"))
+
+  /** Recipes: per-row restore plan (content pointer + row metadata). */
+  def recipes(images: Dataset[ImageRow], cclusters: DataFrame): DataFrame =
+    images.select(col("image_id"), col("caption"), col("w"), col("h"), col("fmt"))
+      .join(cclusters, "image_id")
+      .select("image_id", "content_id", "caption", "w", "h", "fmt")
+
+  /** Restore: reconstruct (image_id, bytes, fmt, caption) from recipes
+    * and the content store. */
+  def restore(recipes: DataFrame, store: DataFrame): DataFrame =
+    recipes.join(store, "content_id")
+      .select(col("image_id"), col("stored_bytes").as("bytes"),
+        col("stored_fmt").as("fmt"), col("caption"))
+
+  /** Per-row round-trip violations: rows whose restored pixels decode
+    * below the PSNR gate or whose caption changed. Returns the detail
+    * rows (empty on a correct corpus); aggregate with
+    * [[roundtripReport]] for the one-row summary. */
+  def roundtripViolations(
+      images: Dataset[ImageRow],
+      restored: DataFrame,
+      cfg: DedupConfig): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes").as("o_bytes"), col("fmt").as("o_fmt"),
+        col("caption").as("o_caption"))
+      .join(restored.select(col("image_id"), col("bytes").as("r_bytes"),
+        col("fmt").as("r_fmt"), col("caption").as("r_caption")), "image_id")
+      .select("image_id", "o_bytes", "o_fmt", "o_caption", "r_bytes", "r_fmt", "r_caption")
+      .as[(String, Array[Byte], String, String, Array[Byte], String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, ob, of, oc, rb, rf, rc) =>
+          val psnr = Codec.psnr(Codec.decode(ob, of), Codec.decode(rb, rf))
+          val psnrOk = psnr >= cfg.psnrMin
+          val capOk = oc == rc
+          if (psnrOk && capOk) Iterator.empty
+          else Iterator((id, psnr, psnrOk, capOk))
+        }
+      }
+      .toDF("image_id", "psnr", "psnr_ok", "caption_ok")
+  }
+
+  /** One-row fidelity report: restore coverage + violation counts —
+    * the analog of destor's restore.log line (src/do_restore.c:267-283).
+    * On a correct store: all_restored=1, psnr_violations=0,
+    * caption_violations=0 at ANY corpus size. */
+  def roundtripReport(
+      images: Dataset[ImageRow],
+      restored: DataFrame,
+      violations: DataFrame): DataFrame = {
+    val n = images.count()
+    val r = restored.select("image_id").distinct().count()
+    violations
+      .agg(
+        sum(when(!col("psnr_ok"), 1L).otherwise(0L)).as("pv"),
+        sum(when(!col("caption_ok"), 1L).otherwise(0L)).as("cv"))
+      .select(
+        coalesce(col("pv"), lit(0L)).as("psnr_violations"),
+        coalesce(col("cv"), lit(0L)).as("caption_violations"),
+        lit(if (n == r) 1L else 0L).as("all_restored"))
+  }
+
+  /** Whole restore + verify round trip on top of a finished pipeline
+    * run — builds the content store from verified pairs, restores every
+    * row, and returns the one-row fidelity report. */
+  def roundTrip(images: Dataset[ImageRow], cfg: DedupConfig): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sigs = DedupPipeline.signatures(images, cfg).persist(lvl)
+    val cand = DedupPipeline.candidates(DedupPipeline.buckets(sigs, cfg), cfg)
+    val (ver, cleanupMid) = DedupPipeline.verifyWithCleanup(cand, sigs, images, cfg)
+    val cc = contentClusters(images, ver, cfg).persist(lvl)
+    cc.count()
+    cleanupMid()
+    sigs.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
+    val restored = restore(recipes(images, cc), contentStore(images, cc))
+    val report = roundtripReport(images, restored,
+      roundtripViolations(images, restored, cfg)).localCheckpoint()
+    cc.unpersist(blocking = false)
+    report
+  }
+}

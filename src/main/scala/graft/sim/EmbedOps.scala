@@ -130,7 +130,7 @@ object EmbedOps {
       e.as[(Long, Array[Double])].collect().toMap)
     rawPairs
       .repartition(col("vec_id"))
-      .sortWithinPartitions("vec_id", "neighbor_id")
+      .sortWithinPartitions("vec_id") // single long key -> radix sort
       .as[(Long, Long)]
       .mapPartitions { it =>
         val m = vecB.value
@@ -146,8 +146,10 @@ object EmbedOps {
         graft.ops.PairGen.groupRuns[Long, (Long, Long, Int, Double)](
           it.map { case (v, nb) => (0, v, nb, 0L) },
           (_, vecId, neighbors, _) => {
-            // neighbors arrive sorted; dedup is a linear uniq, top-k a
+            // sort neighbors locally (cheaper than a comparator-driven
+            // shuffle sort); dedup is then a linear uniq, top-k a
             // bounded insertion into a k-sized array (k is tiny)
+            java.util.Arrays.sort(neighbors)
             val topN = new Array[Long](k)
             val topC = new Array[Double](k)
             var filled = 0

@@ -1,0 +1,72 @@
+package graft
+
+import graft.core.DedupConfig
+import graft.pipeline.{DedupPipeline, RestoreOps}
+import graft.synth.CorpusGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Restore / round-trip verification (T1/T2/T5) — the reference's own
+  * definition of correctness (byte reconstruction, do_restore.c) and
+  * BASELINE.md's per-row fidelity gate: every row rebuilt from the
+  * content store must decode within PSNR >= 40 dB of the original and
+  * carry its exact caption. */
+class RestoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, 8, "restore-spec")
+  val cfg = DedupConfig.default
+
+  test("round trip: all rows restored, zero PSNR/caption violations") {
+    val report = RestoreOps.roundTrip(CorpusGen.generate(spark, 40), cfg).collect()
+    assert(report.length == 1)
+    val r = report(0)
+    assert(r.getLong(0) == 0, "psnr violations")
+    assert(r.getLong(1) == 0, "caption violations")
+    assert(r.getLong(2) == 1, "all rows restored")
+  }
+
+  test("content store dedups: fewer stored rows than images, dedup ratio sane") {
+    val images = CorpusGen.generate(spark, 40).cache()
+    val sigs = DedupPipeline.signatures(images, cfg)
+    val cand = DedupPipeline.candidates(DedupPipeline.buckets(sigs, cfg), cfg)
+    val ver = DedupPipeline.verify(cand, sigs, images, cfg)
+    val cc = RestoreOps.contentClusters(images, ver).cache()
+    val store = RestoreOps.contentStore(images, cc)
+    val n = images.count()
+    val stored = store.count()
+    // patterns 1 (exact+reenc: 3 rows -> 1) and 2 (jitter pair: 2 -> 1)
+    // plant pixel-level dups; everything else stores 1:1
+    assert(stored < n, s"content store must deduplicate ($stored vs $n)")
+    val expected = n - (40 / 5) * 3 // per pattern-1 group: -2; per pattern-2 group: -1
+    assert(stored == expected, s"expected $expected stored contents, got $stored")
+    // recipes cover every image exactly once
+    val rec = RestoreOps.recipes(images, cc)
+    assert(rec.count() == n)
+    assert(rec.select("image_id").distinct().count() == n)
+    images.unpersist(); cc.unpersist()
+  }
+
+  test("verifier catches a corrupted store (negative control)") {
+    val images = CorpusGen.generate(spark, 20).cache()
+    val sigs = DedupPipeline.signatures(images, cfg)
+    val cand = DedupPipeline.candidates(DedupPipeline.buckets(sigs, cfg), cfg)
+    val ver = DedupPipeline.verify(cand, sigs, images, cfg)
+    val cc = RestoreOps.contentClusters(images, ver)
+    // corrupt: point every CAPTION-dup pair's rows at one content too
+    // (i.e. cluster by ALL verified pairs, not just pixel evidence) —
+    // caption dups have different pixels, so PSNR must flag them
+    val badCc = graft.cluster.ConnectedComponents
+      .run(spark, images.select(col("image_id").as("id")),
+        ver.select(col("id1").as("src"), col("id2").as("dst")))
+      .select(col("id").as("image_id"), col("component").as("content_id"))
+    val restoredBad = RestoreOps.restore(
+      RestoreOps.recipes(images, badCc), RestoreOps.contentStore(images, badCc))
+    val violBad = RestoreOps.roundtripViolations(images, restoredBad, cfg)
+    assert(violBad.count() > 0, "caption-dup contamination must produce PSNR violations")
+    // and the clean content clusters do not
+    val restoredOk = RestoreOps.restore(
+      RestoreOps.recipes(images, cc), RestoreOps.contentStore(images, cc))
+    assert(RestoreOps.roundtripViolations(images, restoredOk, cfg).count() == 0)
+    images.unpersist()
+  }
+}

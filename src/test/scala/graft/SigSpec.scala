@@ -44,10 +44,10 @@ class SigSpec extends AnyFunSuite {
     assert(Sig.minhash(a, cfg).toSeq == Sig.minhash(a.clone(), cfg).toSeq)
   }
 
-  test("band keys: equal signatures share all bands; combo pigeonhole for hamming <= 6") {
+  test("band keys: equal signatures share all bands; combo (8,2) pigeonhole for hamming <= 6") {
     val sig = Array.tabulate(cfg.minhashK)(i => Sig.mix64(i))
     assert(Sig.bandKeys(sig, cfg).toSeq == Sig.bandKeys(sig.clone(), cfg).toSeq)
-    // any 6 bit flips: 9 blocks choose 3 must still share a combo key
+    // any 6 bit flips: 8 blocks choose 2 must still share a combo key
     val rng = new java.util.Random(3)
     (0 until 500).foreach { _ =>
       val x = rng.nextLong()
@@ -57,7 +57,7 @@ class SigSpec extends AnyFunSuite {
       val bx = Sig.hammingComboKeys(x, cfg.phashBlocks, cfg.phashCombo).toSet
       val bf = Sig.hammingComboKeys(flipped, cfg.phashBlocks, cfg.phashCombo).toSet
       assert(bx.intersect(bf).nonEmpty, f"x=$x%x flips=$nf")
-      assert(bx.size == 84) // C(9,3) distinct keys
+      assert(bx.size == 28) // C(phashBlocks=8, phashCombo=2) distinct keys
     }
   }
 
