@@ -43,6 +43,8 @@ object SparkEntry {
     "q_segment_fixed" -> ((s, d) => RelationalOps.segmentFixed(s, d)),
     "q_segment_content" -> ((s, d) => RelationalOps.segmentContentDefined(s, d)),
     "q_sample_mod" -> ((s, d) => RelationalOps.sampleMod(s, d)),
+    "q_sample_uniform" -> ((s, d) => RelationalOps.sampleUniform(s, d)),
+    "q_sample_optmin" -> ((s, d) => RelationalOps.sampleOptimizedMin(s, d)),
     "q_set_ops" -> ((s, d) => RelationalOps.setOps(s, d)),
     "q_quantile" -> ((s, d) => RelationalOps.quantile(s, d)),
     "q_cfl_stats" -> ((s, d) => RelationalOps.cflStats(s, d)),
@@ -127,6 +129,42 @@ object SparkEntry {
     "q_sample_mod" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE substr(md5(text),1,1) IN ('0','1')""".stripMargin,
+    "q_sample_uniform" ->
+      """WITH e AS (SELECT source, doc_id, md5(text) AS fp,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos
+        | FROM documents)
+        |SELECT source, doc_id, fp FROM e WHERE pos % 32 = 0""".stripMargin,
+    "q_sample_optmin" ->
+      """WITH e AS (SELECT source, doc_id, md5(text) AS fp,
+        |   row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
+        |   count(*) OVER (PARTITION BY source) AS n,
+        |   coalesce(lag(md5(text), 8) OVER (PARTITION BY source ORDER BY doc_id),
+        |            first_value(md5(text)) OVER (PARTITION BY source ORDER BY doc_id)) AS candidate
+        | FROM documents),
+        |f AS (SELECT *,
+        |   CASE WHEN n > 32 THEN n // 32 + CASE WHEN (n % 32) * 2 > 32 THEN 1 ELSE 0 END
+        |        ELSE 1 END AS feature_num,
+        |   row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rk
+        | FROM e)
+        |SELECT DISTINCT source, candidate AS feature FROM f WHERE rk <= feature_num""".stripMargin,
+    "q_lang_id" ->
+      """WITH h AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('the','and','of','to','a','is','that'))) AS h_en,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','nicht'))) AS h_de,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('le','la','les','et','est','une'))) AS h_fr,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('el','la','los','y','es','una'))) AS h_es,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('的','是','了','在'))) AS h_zh
+        | FROM documents)
+        |SELECT doc_id,
+        |  list_sort([{'h':h_en,'l':'en'},{'h':h_de,'l':'de'},{'h':h_fr,'l':'fr'},
+        |             {'h':h_es,'l':'es'},{'h':h_zh,'l':'zh'}])[-1].l AS lang_pred,
+        |  CAST(h_en AS INTEGER) AS en_hits
+        |FROM h""".stripMargin,
     "q_set_ops" ->
       """SELECT DISTINCT l_partkey AS partkey FROM lineitem
         |EXCEPT

@@ -53,8 +53,11 @@ final case class DedupConfig(
     substrGram: Int = 16, // char k-gram size
     substrWindow: Int = 24, // winnowing window w; guarantee length = w+gram-1
     // --- skew handling (CAP/CBR/HAR analogs, src/cap_rewrite.c / src/cbr_rewrite.c) ---
-    bucketCap: Int = 64, // all-pairs only for buckets ≤ cap; star-pairs above (CAP, R4)
-    skewQuantile: Double = 0.99, // quantile that defines a "hot" bucket (CBR, A4/R3)
+    bucketCap: Int = 64, // all-pairs floor: CBR raises the EFFECTIVE cap to the skewQuantile-quantile of bucket sizes (SkewControl.adaptiveCap); star-pairs above (CAP, R4)
+    skewQuantile: Double = 0.99, // bucket-size quantile that defines a "hot" bucket (CBR, A4/R3)
+    // --- incremental index (kvstore analog, src/index/kvstore_htable.c:158-185:
+    //     kv_update keeps at most index_value_length ids per feature, FIFO) ---
+    indexValueLength: Int = 64, // max stored postings probed per bucket (newest first)
     // --- misc ---
     seed: Long = 42L
 ) {

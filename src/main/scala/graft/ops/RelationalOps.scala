@@ -113,6 +113,41 @@ object RelationalOps {
       .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
       .select("doc_id", "n_chars")
 
+  /** F4 uniform (every n-th) sampling: one feature per 32 rows in
+    * scan order within each source segment (reference
+    * src/index/sampling_method.c:215-239: `count % ratio == 0`). */
+  def sampleUniform(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    t(spark, dir, "documents")
+      .withColumn("pos", row_number().over(w) - 1)
+      .filter(col("pos") % 32 === 0)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("fp"))
+  }
+
+  /** F2 optimized-min (de-correlated min) sampling, the Extreme-Binning
+    * refinement (reference src/index/sampling_method.c:80-170): per
+    * segment pick the `feature_num` smallest fingerprints as ANCHORS,
+    * but emit as the sampled feature the fingerprint 8 positions
+    * EARLIER in scan order (first row's when fewer than 8 seen) — the
+    * de-correlation that keeps near-identical segments from sampling
+    * the identical minimum. feature_num = round-to-nearest(n/ratio),
+    * min 1 (reference :84-93), ratio = 32. */
+  def sampleOptimizedMin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val d = t(spark, dir, "documents")
+      .withColumn("fp", md5(col("text")))
+      .withColumn("candidate", coalesce(lag(col("fp"), 8).over(w), first(col("fp")).over(w)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    d.withColumn("feature_num",
+        when(col("n") > 32,
+          floor(col("n") / 32) + when((col("n") % 32) * 2 > 32, 1).otherwise(0))
+          .otherwise(1L))
+      .withColumn("rk", row_number().over(Window.partitionBy("source").orderBy("fp", "doc_id")))
+      .filter(col("rk") <= col("feature_num"))
+      .select(col("source"), col("candidate").as("feature"))
+      .distinct()
+  }
+
   /** 2.8 set ops: distinct + except — parts referenced by lineitems
     * minus large parts (GC's invalid-set shape, reference
     * src/cma.c:83-139). */

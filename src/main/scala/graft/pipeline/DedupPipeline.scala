@@ -132,7 +132,12 @@ object DedupPipeline extends Serializable {
   val SrcPhash = 4
   val SrcSubstr = 8
 
-  def candidates(bk: Dataset[BucketRow], cfg: DedupConfig): DataFrame = {
+  def candidates(bk: Dataset[BucketRow], cfg: DedupConfig): DataFrame =
+    finishCandidates(pairStream(bk, cfg, cfg.bucketCap))
+
+  /** Raw candidate pair stream (id1, id2, srcbit) from postings, with
+    * all-pairs ≤ `cap` / star-pairing above it. */
+  private[pipeline] def pairStream(bk: Dataset[BucketRow], cfg: DedupConfig, cap: Int): DataFrame = {
     // Pair expansion WITHOUT building per-bucket lists: repartition on
     // (band,bucket), sort within partitions, stream over runs of equal
     // keys emitting pairs directly. A collect_list-based formulation
@@ -143,7 +148,6 @@ object DedupPipeline extends Serializable {
     // the cap).
     val spark = bk.sparkSession
     import spark.implicits._
-    val cap = cfg.bucketCap
     val hamMax = cfg.hammingMax
     // ONE packed 64-bit shuffle/sort key: the Tungsten sort is then a
     // pure radix sort (zero comparator calls — the interpreted
@@ -184,6 +188,12 @@ object DedupPipeline extends Serializable {
           })
       }
       .toDF("id1", "id2", "srcbit")
+  }
+
+  /** Cross-band pair dedup + provenance: bit-OR the source bits of every
+    * band a pair was seen in, label with the strongest evidence class. */
+  private[pipeline] def finishCandidates(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy("id1", "id2")
       .agg(expr("cast(bit_or(srcbit) as int)").as("srcmask"))
       .withColumn("src",
@@ -191,6 +201,77 @@ object DedupPipeline extends Serializable {
           .when(col("srcmask").bitwiseAND(SrcMinhash) =!= 0, "minhash")
           .when(col("srcmask").bitwiseAND(SrcSubstr) =!= 0, "substr")
           .otherwise("phash"))
+
+  /** Skew-aware candidate generation result: the candidate pairs, this
+    * run's hot-bucket list (HAR state for the NEXT run), the CBR-derived
+    * effective cap, and a cleanup thunk that drops the internal
+    * bucket-size cache — call AFTER pairs and hotBuckets have been
+    * materialized. */
+  final case class SkewAwareCandidates(
+      pairs: DataFrame, hotBuckets: DataFrame, capUsed: Int, cleanup: () => Unit)
+
+  /** Stage 3 with BOTH adaptive skew controllers live (see SkewControl):
+    *  - CBR: effective cap = skewQuantile-quantile of this run's bucket
+    *    sizes, floored at cfg.bucketCap — a shifted bucket-size
+    *    distribution re-derives the cap instead of star-pairing the
+    *    bulk of the corpus;
+    *  - HAR: postings of `inheritedHot` buckets (the previous run's
+    *    published hot list) bypass the big posting sort entirely — star
+    *    pairs come from a broadcast min-per-bucket join, so known-skewed
+    *    keys never land on one sort partition.
+    * The pair SET is identical to the non-HAR path for the same cap
+    * (star pairs to the same per-bucket min member); only the physical
+    * plan for hot keys changes.
+    */
+  def candidatesSkewAware(
+      bk: Dataset[BucketRow],
+      cfg: DedupConfig,
+      inheritedHot: Option[DataFrame] = None): SkewAwareCandidates = {
+    import graft.ops.SkewControl
+    // ONE bucket-size aggregation serves both controllers: the CBR
+    // quantile (driver scalar, materializes the cache) and the HAR hot
+    // list published for the next run.
+    val sizes = SkewControl.bucketSizes(bk.toDF())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val cap = SkewControl.adaptiveCap(sizes, cfg.skewQuantile, cfg.bucketCap)
+    val hotNow = SkewControl.hotBuckets(sizes, cap)
+    val srcbitCol =
+      when(col("band") < BandPhash, SrcMinhash)
+        .when(col("band") < BandSubstr, SrcPhash)
+        .when(col("band") < BandExactSha, SrcSubstr)
+        .otherwise(SrcExact)
+    val raw = inheritedHot match {
+      case Some(hot) if !hot.isEmpty =>
+        // only keys that are ALSO hot this run take the star path — an
+        // inherited key that shrank below the cap must be all-paired,
+        // so the pair set stays exactly the non-HAR path's (destor
+        // equally re-checks inherited sparse containers against the
+        // current backup before rewriting, har_rewrite.c:186-201)
+        val hotKeys = hot.select("band", "bucket").distinct()
+          .join(sizes.filter(col("n") > cap).select("band", "bucket"), Seq("band", "bucket"))
+        val hotPost = bk.toDF().join(broadcast(hotKeys), Seq("band", "bucket"))
+        val coldPost = bk.toDF().join(broadcast(hotKeys), Seq("band", "bucket"), "left_anti")
+        // star pairs for inherited hot buckets WITHOUT the sort shuffle:
+        // per-bucket min member from a partial aggregation (tiny — one
+        // row per hot bucket), broadcast back over the postings
+        val minPer = hotPost.groupBy("band", "bucket")
+          .agg(min(struct(col("image_id"), col("payload"))).as("m"))
+        val hamOk = when(
+          col("band") >= BandPhash && col("band") < BandSubstr,
+          expr(s"bit_count(payload ^ m.payload) <= ${cfg.hammingMax}")).otherwise(lit(true))
+        val starred = hotPost.join(broadcast(minPer), Seq("band", "bucket"))
+          .filter(col("image_id") =!= col("m.image_id"))
+          .filter(hamOk)
+          .select(col("m.image_id").as("id1"), col("image_id").as("id2"),
+            srcbitCol.as("srcbit"))
+        val spark = bk.sparkSession
+        import spark.implicits._
+        pairStream(coldPost.as[BucketRow], cfg, cap).union(starred)
+      case _ =>
+        pairStream(bk, cfg, cap)
+    }
+    SkewAwareCandidates(finishCandidates(raw), hotNow, cap,
+      () => { sizes.unpersist(blocking = false); () })
   }
 
   /** Stage 4 — verification with the EXACT oracle predicates (same
@@ -347,12 +428,17 @@ object DedupPipeline extends Serializable {
     val sigs = signatures(images, cfg).persist(lvl)
     val bk = buckets(sigs, cfg)
     // single consumer (verify) — no persist needed; the grouping
-    // shuffle feeds straight into the verify joins in one query
-    val cand = candidates(bk, cfg)
-    val (ver, cleanupMid) = verifyWithCleanup(cand, sigs, images, cfg)
+    // shuffle feeds straight into the verify joins in one query.
+    // CBR adaptive cap is LIVE here (skewQuantile): the bucket-size
+    // aggregation is one cheap extra pass over the (narrow, persisted-
+    // sig-derived) postings; HAR inheritance applies to the cross-run
+    // ingest flow (IncrementalDedup), not a one-shot run.
+    val sk = candidatesSkewAware(bk, cfg, None)
+    val (ver, cleanupMid) = verifyWithCleanup(sk.pairs, sigs, images, cfg)
     val out = clusters(images, ver).localCheckpoint() // eager
     sigs.unpersist(blocking = false)
     cleanupMid()
+    sk.cleanup()
     out
   }
 }

@@ -61,6 +61,12 @@ final class StageRunner(
 
   def stagesResumed: Seq[String] = resumedStages.toSeq
 
+  /** Record an ad-hoc metric observation alongside a stage (jcr-counter
+    * analog for values the stage computes internally, e.g. the CBR
+    * cap_used or HAR inherited-bucket count). */
+  def noteMetric(stage: String, metric: String, value: Double): Unit =
+    metricsBuf += MetricRow(stage, metric, value, runId)
+
   /** Publish accumulated lineage + metrics tables (call once at end). */
   def finish(): Unit = {
     import spark.implicits._
@@ -110,8 +116,35 @@ object CheckpointedPipeline {
     val buckets = runner.stage("lsh_buckets")(
       DedupPipeline.buckets(sigsDs, cfg).toDF())
 
-    val cand = runner.stage("candidate_pairs")(
-      DedupPipeline.candidates(buckets.as[BucketRow], cfg))
+    // Skew-aware candidates: CBR adaptive cap + HAR inheritance — the
+    // hot-bucket table is keyed by CONFIG hash only (no input key): a
+    // later run over a different/larger corpus inherits the previous
+    // run's hot list, exactly destor's bv<id-1>.sparse handoff
+    // (src/har_rewrite.c:17-57).
+    val HarTable = "har_hot_buckets"
+    // inherited list is MATERIALIZED to the driver (hot lists are tiny
+    // by construction — only buckets above the cap) so republishing the
+    // table below can never invalidate a lazy plan that still reads it
+    val inheritedHot: Option[DataFrame] =
+      if (runner.io.isPublished(HarTable, cfg.configHash)) {
+        val hot = runner.io.readMaterialized(HarTable)
+        if (hot.isEmpty) None else Some(hot)
+      } else None
+    var sk: Option[DedupPipeline.SkewAwareCandidates] = None
+    val cand = runner.stage("candidate_pairs") {
+      val s = DedupPipeline.candidatesSkewAware(buckets.as[BucketRow], cfg, inheritedHot)
+      sk = Some(s)
+      runner.noteMetric("candidate_pairs", "cap_used", s.capUsed.toDouble)
+      runner.noteMetric("candidate_pairs", "har_inherited_buckets",
+        inheritedHot.map(_.count().toDouble).getOrElse(0.0))
+      s.pairs
+    }
+    // publish THIS run's hot list for the next run (bv<id>.sparse
+    // analog) — after the pairs stage has fully materialized
+    sk.foreach { s =>
+      runner.io.publish(s.hotBuckets, HarTable, cfg.configHash, runId)
+      s.cleanup()
+    }
 
     val verified = {
       // verifyWithCleanup eagerly materializes its Mid cache, so it must

@@ -84,6 +84,121 @@ final class TableIO(spark: SparkSession, baseDir: String) {
 
   def read(table: String): DataFrame = spark.read.parquet(tablePath(table).toString)
 
+  /** Read a SMALL table fully materialized to the driver and re-created
+    * as a local DataFrame — for control tables (e.g. the HAR hot-bucket
+    * list) that are re-published while lazy plans still reference them:
+    * a plan over the materialized copy can never observe the overwrite. */
+  def readMaterialized(table: String): DataFrame = {
+    val df = read(table)
+    val rows = df.collect()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+  }
+
+  // ------------------------------------------------------------------
+  // Append-oriented batch stores (incremental ingest / retention).
+  //
+  // Each batch is its own subdirectory `<table>/batch-<runId>`,
+  // committed by the same tmp→rename protocol; `_STORE.json` lists the
+  // committed batch ids IN INGEST ORDER. A batch directory not listed
+  // in the manifest is invisible (a crash mid-append is simply retried).
+  // This is the destor container-store append discipline
+  // (src/storage/containerstore.c:131-216: containers are append-only,
+  // the manifest/recordset tells which are live) — and what an Iceberg
+  // append commit would replace 1:1.
+  // ------------------------------------------------------------------
+  private def storeManifestPath(t: String) = new Path(tablePath(t), "_STORE.json")
+  private def batchPath(t: String, runId: String) = new Path(tablePath(t), s"batch-$runId")
+
+  /** Committed batch run-ids of a store, in ingest order. */
+  def batches(table: String): Seq[String] = {
+    val f = fs
+    if (!f.exists(storeManifestPath(table))) return Seq.empty
+    val in = f.open(storeManifestPath(table))
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    "\"([^\"]+)\"".r.findAllMatchIn(
+      txt.substring(txt.indexOf('['), txt.indexOf(']') + 1)).map(_.group(1)).toSeq
+  }
+
+  private def writeStoreManifest(table: String, ids: Seq[String]): Unit = {
+    val out = fs.create(storeManifestPath(table), true)
+    out.write(s"""{"table":"$table","batches":[${ids.map("\"" + _ + "\"").mkString(",")}]}"""
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Append one batch to a store: tmp-write, rename into place, then
+    * commit by rewriting the store manifest. Returns rows appended
+    * (parquet footers — no re-scan). */
+  def appendBatch(df: DataFrame, table: String, runId: String): Long = {
+    val f = fs
+    require(!batches(table).contains(runId), s"batch $runId already in $table")
+    val tmp = new Path(baseDir, s"$table.tmp-$runId")
+    f.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dest = batchPath(table, runId)
+    f.delete(dest, true)
+    f.mkdirs(tablePath(table))
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"batch append failed: $tmp -> $dest")
+    writeStoreManifest(table, batches(table) :+ runId)
+    val conf = spark.sparkContext.hadoopConfiguration
+    f.listStatus(dest).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getRecordCount finally reader.close()
+      }.sum
+  }
+
+  /** Replace one committed batch's data in place (index-entry reclaim:
+    * retention rewrites surviving edge batches minus dropped ids). */
+  def rewriteBatch(df: DataFrame, table: String, runId: String): Unit = {
+    val f = fs
+    require(batches(table).contains(runId), s"batch $runId not in $table")
+    val tmp = new Path(baseDir, s"$table.tmp-rw-$runId")
+    f.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dest = batchPath(table, runId)
+    f.delete(dest, true)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"batch rewrite failed: $tmp -> $dest")
+  }
+
+  /** Drop one batch: remove it from the manifest FIRST (it becomes
+    * invisible), then delete the directory (trunc_manifest discipline,
+    * reference src/cma.c:83-139: manifest update precedes reclaim). */
+  def dropBatch(table: String, runId: String): Unit = {
+    writeStoreManifest(table, batches(table).filterNot(_ == runId))
+    fs.delete(batchPath(table, runId), true)
+  }
+
+  /** Read one committed batch. */
+  def readBatch(table: String, runId: String): DataFrame =
+    spark.read.parquet(batchPath(table, runId).toString)
+
+  /** Read the whole store (union of committed batches). */
+  def readBatches(table: String): DataFrame = {
+    val ids = batches(table)
+    require(ids.nonEmpty, s"store $table has no batches")
+    spark.read.parquet(ids.map(r => batchPath(table, r).toString): _*)
+  }
+
+  /** Whether a store exists with at least one committed batch. */
+  def hasBatches(table: String): Boolean = batches(table).nonEmpty
+
+  /** GC crashed-publish leftovers: `*.tmp-*` directories are invisible
+    * by protocol; delete them and report what was reclaimed. */
+  def gcOrphans(): Seq[String] = {
+    val f = fs
+    val base = new Path(baseDir)
+    if (!f.exists(base)) return Seq.empty
+    f.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains(".tmp-"))
+      .map { s => f.delete(s.getPath, true); s.getPath.getName }
+  }
+
   def exists(table: String): Boolean = fs.exists(manifestPath(table))
 
   def drop(table: String): Unit = fs.delete(tablePath(table), true)
