@@ -45,6 +45,13 @@ object Sessions {
       // lets the signature side-tables broadcast at bench scale (on a
       // real cluster executors get the same heap headroom).
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // F7 Bloom-filter recast (reference src/utils/bloom_filter.c —
+      // DDFS's memory front-end that prunes index probes): Spark's
+      // runtime bloom-filter join pruning injects a bloom built from
+      // the small join side into the big side's scan — exactly the
+      // incremental probe's shape (new batch's bucket keys pruning the
+      // postings-store scan before the join).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -31,13 +31,20 @@ final case class ImageRow(
   */
 final case class SignatureRow(
     image_id: String,
-    sha: String, // hex sha1 over (bytes ++ caption) — exact-dup identity
+    sha: String, // hex sha1 over (len(bytes) ++ bytes ++ caption) — exact-dup identity
     pixsha: String, // hex sha1 over decoded RAW pixels — exact-pixel dup key
     bands: Array[Long], // LSH band keys of the caption MinHash
     simhash: Long,
     phash: Long,
     shingle_count: Int,
-    caption: String
+    caption: String,
+    // P9 zero-chunk analog (reference src/chunk_phase.c:85-90 flags the
+    // all-zero chunk): uniform decoded pixels — the degenerate-input
+    // class that generates hot phash buckets. Flagged + counted per run
+    // (jcr counter analog); bucket emission is unchanged because the
+    // oracle's dup predicate still applies to such rows, and the CAP/
+    // CBR/HAR skew machinery bounds the buckets they create.
+    degenerate: Boolean = false
 )
 
 /** One LSH bucket posting: (band index, band hash) → image. The analog of

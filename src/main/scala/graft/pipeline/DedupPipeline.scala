@@ -73,6 +73,10 @@ object DedupPipeline extends Serializable {
         md.update(pix)
         val pixsha = hex(md.digest())
         val shingles = Sig.shingleHashes(r.caption, cfg.shingleSize)
+        // P9 degenerate guard: uniform decoded pixels (all-black etc.)
+        var uniform = pix.length > 0
+        var i = 1
+        while (uniform && i < pix.length) { uniform = pix(i) == pix(0); i += 1 }
         SignatureRow(
           image_id = r.image_id,
           sha = sha,
@@ -81,7 +85,8 @@ object DedupPipeline extends Serializable {
           simhash = Sig.simhash64(shingles, null),
           phash = r.phash,
           shingle_count = shingles.length,
-          caption = r.caption)
+          caption = r.caption,
+          degenerate = uniform)
       }
     }
   }

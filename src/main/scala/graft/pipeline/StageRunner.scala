@@ -113,6 +113,18 @@ object CheckpointedPipeline {
       DedupPipeline.signatures(imagesDs, cfg).toDF())
     def sigsDs = sigs.as[SignatureRow]
 
+    // P9 degenerate-input counters (zero-chunk jcr analog): one narrow
+    // aggregate over the published signature checkpoint
+    locally {
+      val d = sigs.agg(
+        sum(when(col("degenerate"), 1L).otherwise(0L)),
+        sum(when(length(trim(col("caption"))) === 0, 1L).otherwise(0L))).first()
+      runner.noteMetric("signatures", "degenerate_pixel_rows",
+        if (d.isNullAt(0)) 0.0 else d.getLong(0).toDouble)
+      runner.noteMetric("signatures", "blank_caption_rows",
+        if (d.isNullAt(1)) 0.0 else d.getLong(1).toDouble)
+    }
+
     val buckets = runner.stage("lsh_buckets")(
       DedupPipeline.buckets(sigsDs, cfg).toDF())
 
