@@ -45,13 +45,33 @@ object Sessions {
       // lets the signature side-tables broadcast at bench scale (on a
       // real cluster executors get the same heap headroom).
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-      // F7 Bloom-filter recast (reference src/utils/bloom_filter.c —
-      // DDFS's memory front-end that prunes index probes): Spark's
-      // runtime bloom-filter join pruning injects a bloom built from
-      // the small join side into the big side's scan — exactly the
-      // incremental probe's shape (new batch's bucket keys pruning the
-      // postings-store scan before the join).
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // Runtime bloom-filter join pruning (the F7 Bloom-filter recast,
+      // reference src/utils/bloom_filter.c) is deliberately OFF: each
+      // injected bloom build re-executes the creation-side plan, and
+      // this engine's join inputs are unpersisted shuffle subtrees
+      // (candidate pairs, signature projections) — measured +44% on the
+      // end-to-end pipeline at 20k images. It pays off only for joins
+      // whose build side is a cheap table scan (the reference's own
+      // bloom filter is equally vestigial — config knob, never called).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      // Shuffle/spill scratch on tmpfs: this kernel (6.18.x) serializes
+      // concurrent shuffle-file mmap/unmap + writeback on mm locks
+      // (doc/shuffle-scaling-notes.md — measured 50-85% SYSTEM time
+      // during the posting shuffle on /dev/vda). tmpfs takes the block
+      // layer out entirely; on a real cluster the analog is pointing
+      // spark.local.dir at local NVMe, standard deployment practice.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-scratch" else "/tmp"))
+      // ContextCleaner is weak-reference driven: with a large fixed
+      // heap that never GCs on its own, shuffle registrations/files
+      // accumulate and every SUBSEQUENT shuffle degrades (measured: the
+      // same 0.4 s aggregation monotonically slowed to 27 s over 12
+      // back-to-back runs; a periodic GC restores it). 45 s instead of
+      // the 30 min default — the standard knob for long-running
+      // drivers; a multi-batch ingest driver on a real cluster needs it
+      // for exactly the same reason.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -167,33 +167,41 @@ object DedupPipeline extends Serializable {
       .repartition(col("key"))
       .sortWithinPartitions("key", "band")
       .as[(Long, Int, String, Long)]
-      .mapPartitions { it =>
-        def srcbitOf(band: Int): Int =
-          if (band < BandPhash) SrcMinhash
-          else if (band < BandSubstr) SrcPhash
-          else if (band < BandExactSha) SrcSubstr
-          else SrcExact
-        graft.ops.PairGen.groupRuns[String, (String, String, Int)](
-          it.map { case (key, band, id, payload) => (band, key, id, payload) },
-          (band, _, m, p) => {
-            graft.ops.PairGen.sortWithPayload(m, p)
-            val sb = srcbitOf(band)
-            // hamming-LSH bands: reject far pairs HERE, before they hit
-            // the pair-dedup shuffle (bucket key saturation makes random
-            // collisions ~n^2/keyspace at scale)
-            val hamBand = sb == SrcPhash
-            if (m.length <= cap)
-              for (i <- m.indices.iterator; j <- (i + 1) until m.length
-                   if !hamBand || Sig.hamming(p(i), p(j)) <= hamMax)
-                yield (m(i), m(j), sb)
-            else
-              (1 until m.length).iterator
-                .filter(j => !hamBand || Sig.hamming(p(0), p(j)) <= hamMax)
-                .map(j => (m(0), m(j), sb))
-          })
-      }
+      .mapPartitions(it =>
+        expandSorted(it.map { case (key, band, id, payload) => (band, key, id, payload) },
+          cap, cfg.hammingMax))
       .toDF("id1", "id2", "srcbit")
   }
+
+  private def srcbitOf(band: Int): Int =
+    if (band < BandPhash) SrcMinhash
+    else if (band < BandSubstr) SrcPhash
+    else if (band < BandExactSha) SrcSubstr
+    else SrcExact
+
+  /** CAP-capped pair expansion over one partition of (band, key, id,
+    * payload) rows sorted by (key, band): all-pairs ≤ cap, star above.
+    * Hamming-LSH bands reject far pairs AT EMISSION, before they hit
+    * the pair-dedup shuffle (bucket key saturation makes random
+    * collisions ~n^2/keyspace at scale). */
+  private def expandSorted(
+      it: Iterator[(Int, Long, String, Long)],
+      cap: Int, hamMax: Int): Iterator[(String, String, Int)] =
+    graft.ops.PairGen.groupRuns[String, (String, String, Int)](
+      it,
+      (band, _, m, p) => {
+        graft.ops.PairGen.sortWithPayload(m, p)
+        val sb = srcbitOf(band)
+        val hamBand = sb == SrcPhash
+        if (m.length <= cap)
+          for (i <- m.indices.iterator; j <- (i + 1) until m.length
+               if !hamBand || Sig.hamming(p(i), p(j)) <= hamMax)
+            yield (m(i), m(j), sb)
+        else
+          (1 until m.length).iterator
+            .filter(j => !hamBand || Sig.hamming(p(0), p(j)) <= hamMax)
+            .map(j => (m(0), m(j), sb))
+      })
 
   /** Cross-band pair dedup + provenance: bit-OR the source bits of every
     * band a pair was seen in, label with the strongest evidence class. */
@@ -233,50 +241,102 @@ object DedupPipeline extends Serializable {
       cfg: DedupConfig,
       inheritedHot: Option[DataFrame] = None): SkewAwareCandidates = {
     import graft.ops.SkewControl
-    // ONE bucket-size aggregation serves both controllers: the CBR
-    // quantile (driver scalar, materializes the cache) and the HAR hot
-    // list published for the next run.
-    val sizes = SkewControl.bucketSizes(bk.toDF())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val cap = SkewControl.adaptiveCap(sizes, cfg.skewQuantile, cfg.bucketCap)
-    val hotNow = SkewControl.hotBuckets(sizes, cap)
-    val srcbitCol =
-      when(col("band") < BandPhash, SrcMinhash)
-        .when(col("band") < BandSubstr, SrcPhash)
-        .when(col("band") < BandExactSha, SrcSubstr)
-        .otherwise(SrcExact)
-    val raw = inheritedHot match {
+    val spark = bk.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
+    // HAR: split the inherited keys out BEFORE the posting shuffle — the
+    // whole point is that known-skewed keys never land on one sort
+    // partition (destor equally acts on the inherited sparse list
+    // up-front, har_rewrite.c:186-201)
+    val (coldRaw, hotRaw) = inheritedHot match {
       case Some(hot) if !hot.isEmpty =>
-        // only keys that are ALSO hot this run take the star path — an
-        // inherited key that shrank below the cap must be all-paired,
-        // so the pair set stays exactly the non-HAR path's (destor
-        // equally re-checks inherited sparse containers against the
-        // current backup before rewriting, har_rewrite.c:186-201)
         val hotKeys = hot.select("band", "bucket").distinct()
-          .join(sizes.filter(col("n") > cap).select("band", "bucket"), Seq("band", "bucket"))
-        val hotPost = bk.toDF().join(broadcast(hotKeys), Seq("band", "bucket"))
-        val coldPost = bk.toDF().join(broadcast(hotKeys), Seq("band", "bucket"), "left_anti")
-        // star pairs for inherited hot buckets WITHOUT the sort shuffle:
-        // per-bucket min member from a partial aggregation (tiny — one
-        // row per hot bucket), broadcast back over the postings
-        val minPer = hotPost.groupBy("band", "bucket")
-          .agg(min(struct(col("image_id"), col("payload"))).as("m"))
+        (bk.toDF().join(broadcast(hotKeys), Seq("band", "bucket"), "left_anti"),
+          Some(bk.toDF().join(broadcast(hotKeys), Seq("band", "bucket"))))
+      case _ => (bk.toDF(), None)
+    }
+
+    // THE posting shuffle — one repartition+radix-sort, PERSISTED so the
+    // bucket-size scan (CBR) and the pair expansion read the same
+    // exchange instead of shuffling the postings twice (round-2 interim
+    // version paid a second full groupBy shuffle + a percentile sketch
+    // for the cap; both replaced by a local run-length scan + an exact
+    // histogram quantile).
+    val sorted = coldRaw
+      .select(xxhash64(col("band"), col("bucket")).as("key"),
+        col("band"), col("bucket"), col("image_id"), col("payload"))
+      .repartition(col("key"))
+      .sortWithinPartitions("key", "band")
+      .as[(Long, Int, Long, String, Long)]
+      .persist(lvl)
+
+    // run-length bucket sizes: a LOCAL scan of the cached sort
+    val coldSizes = sorted.mapPartitions { it =>
+      val base = it.buffered
+      new Iterator[(Int, Long, Long)] {
+        def hasNext: Boolean = base.hasNext
+        def next(): (Int, Long, Long) = {
+          val (k, band, bucket, _, _) = base.head
+          var n = 0L
+          while (base.hasNext && base.head._1 == k && base.head._2 == band) {
+            base.next(); n += 1
+          }
+          (band, bucket, n)
+        }
+      }
+    }.toDF("band", "bucket", "n")
+
+    // CBR: exact histogram quantile (materializes the cache)
+    val cap = SkewControl.adaptiveCap(coldSizes, cfg.skewQuantile, cfg.bucketCap)
+
+    // pair expansion: second LOCAL scan of the same cache
+    val coldPairs = sorted
+      .mapPartitions(it =>
+        expandSorted(it.map { case (key, band, _, id, payload) => (band, key, id, payload) },
+          cap, cfg.hammingMax))
+      .toDF("id1", "id2", "srcbit")
+
+    val (raw, hotSizes, cleanupHot) = hotRaw match {
+      case Some(hp) =>
+        // per-bucket (min member, size) from a partial aggregation —
+        // tiny (one row per inherited bucket), persisted for its three
+        // consumers (star join, shrink re-route, hot list)
+        val minPer = hp.groupBy("band", "bucket")
+          .agg(min(struct(col("image_id"), col("payload"))).as("m"),
+            count(lit(1)).as("n"))
+          .persist(lvl)
+        val srcbitCol =
+          when(col("band") < BandPhash, SrcMinhash)
+            .when(col("band") < BandSubstr, SrcPhash)
+            .when(col("band") < BandExactSha, SrcSubstr)
+            .otherwise(SrcExact)
         val hamOk = when(
           col("band") >= BandPhash && col("band") < BandSubstr,
           expr(s"bit_count(payload ^ m.payload) <= ${cfg.hammingMax}")).otherwise(lit(true))
-        val starred = hotPost.join(broadcast(minPer), Seq("band", "bucket"))
+        // still-hot inherited keys: star pairs via broadcast min-join
+        val starred = hp
+          .join(broadcast(minPer.filter(col("n") > cap)), Seq("band", "bucket"))
           .filter(col("image_id") =!= col("m.image_id"))
           .filter(hamOk)
           .select(col("m.image_id").as("id1"), col("image_id").as("id2"),
             srcbitCol.as("srcbit"))
-        val spark = bk.sparkSession
-        import spark.implicits._
-        pairStream(coldPost.as[BucketRow], cfg, cap).union(starred)
-      case _ =>
-        pairStream(bk, cfg, cap)
+        // inherited keys that SHRANK below the cap must be all-paired —
+        // re-routed through a (tiny) expander pass so the pair set stays
+        // exactly the non-HAR path's
+        val backKeys = minPer.filter(col("n") <= cap).select("band", "bucket")
+        val backPairs = pairStream(
+          hp.join(broadcast(backKeys), Seq("band", "bucket")).as[BucketRow], cfg, cap)
+        (coldPairs.union(starred).union(backPairs),
+          minPer.select(col("band"), col("bucket"), col("n")),
+          () => { minPer.unpersist(blocking = false); () })
+      case None =>
+        (coldPairs, coldSizes.limit(0), () => ())
     }
+
+    val hotNow = SkewControl.hotBuckets(coldSizes.unionByName(hotSizes), cap)
     SkewAwareCandidates(finishCandidates(raw), hotNow, cap,
-      () => { sizes.unpersist(blocking = false); () })
+      () => { sorted.unpersist(blocking = false); cleanupHot(); () })
   }
 
   /** Stage 4 — verification with the EXACT oracle predicates (same

@@ -46,6 +46,33 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming ingest into the persistent dedup index: every
+    * micro-batch goes through the SAME IncrementalDedup.ingest path as
+    * a batch ingest (probe stored postings, verify, merge clusters,
+    * append the batch to the stores) — `foreachBatch` is exactly
+    * destor's backup-job granularity (one jcr per stream segment,
+    * reference src/do_backup.c:31-210), so a continuous source and a
+    * nightly batch produce identical store states for identical data.
+    * Batch ids are `<runPrefix>-<batchId>`; restarts are safe because
+    * a re-delivered micro-batch id is rejected by the store manifest
+    * (at-least-once source → exactly-once store commit). */
+  def streamingIngest(
+      images: org.apache.spark.sql.Dataset[graft.core.ImageRow],
+      workDir: String,
+      runPrefix: String,
+      cfg: graft.core.DedupConfig = graft.core.DedupConfig.default)
+      : org.apache.spark.sql.streaming.DataStreamWriter[graft.core.ImageRow] =
+    images.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.core.ImageRow], batchId: Long) =>
+        val inc = new graft.pipeline.IncrementalDedup(batch.sparkSession, workDir, cfg)
+        val runId = s"$runPrefix-$batchId"
+        if (!inc.ingested.contains(runId)) {
+          val pinned = batch.localCheckpoint() // ingest consumes the batch 3x
+          inc.ingest(pinned, runId)
+          ()
+        }
+      }
+
   /** Run a streaming query over a static parquet dir to completion
     * and return the result table (memory sink) — the harness for
     * batch/stream agreement tests. */
