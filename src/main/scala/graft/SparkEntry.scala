@@ -58,7 +58,9 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "q_substr_dups" -> ((s, d) => TextOps.substrDedup(s, d, cfg)),
+    "q_cfl_rewrite" -> ((s, d) => TextOps.cflRewrite(s, d)),
     "q_minhash_dedup" -> ((s, d) => TextOps.minhashDedup(s, d, cfg)),
+    "q_source_minhash" -> ((s, d) => TextOps.sourceMinhash(s, d, cfg)),
     "q_simhash_dedup" -> ((s, d) => TextOps.simhashDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardDedup(s, d)),
     // --- embedding similarity search ---
@@ -220,6 +222,36 @@ object SparkEntry {
         |   AND contains(lower(b.text), lower(a.text)) AND lower(a.text) <> lower(b.text))
         |   OR (length(lower(b.text)) >= ${cfg.substrMinChars}
         |   AND contains(lower(a.text), lower(b.text)) AND lower(a.text) <> lower(b.text))""".stripMargin,
+    "q_cfl_rewrite" ->
+      """WITH canon AS (
+        |  SELECT md5(text) AS k, min(doc_id) AS canonical_id FROM documents GROUP BY 1),
+        |cr AS (
+        |  SELECT c.k, c.canonical_id, d.source, d.n_chars
+        |  FROM canon c JOIN documents d ON d.doc_id = c.canonical_id),
+        |packed AS (
+        |  SELECT k, canonical_id AS content_id,
+        |    source || '#' || CAST(CAST(floor(
+        |      (sum(n_chars) OVER (PARTITION BY source ORDER BY canonical_id) - n_chars)
+        |      / 4096) AS BIGINT) AS VARCHAR) AS container_id,
+        |    n_chars AS content_bytes
+        |  FROM cr),
+        |refs AS (
+        |  SELECT d.doc_id, p.content_id, p.container_id, p.content_bytes
+        |  FROM documents d JOIN packed p ON md5(d.text) = p.k
+        |  WHERE d.doc_id % 7 = 0),
+        |util AS (
+        |  SELECT container_id, sum(content_bytes)/4096.0 AS utilization
+        |  FROM (SELECT DISTINCT content_id, container_id, content_bytes FROM refs)
+        |  GROUP BY 1),
+        |cfl AS (
+        |  SELECT least(1.0, ceil(sum(content_bytes)/4096.0)
+        |    / count(DISTINCT container_id)) AS v FROM refs)
+        |SELECT r.doc_id, r.content_id, r.container_id,
+        |  round(u.utilization, 4) AS util,
+        |  CAST(((SELECT v FROM cfl) < 0.6 AND u.utilization < 0.25) AS INTEGER) AS ooo,
+        |  CAST(((SELECT v FROM cfl) < 0.6 AND u.utilization < 0.25
+        |        AND r.doc_id <> r.content_id) AS INTEGER) AS rewrite
+        |FROM refs r JOIN util u USING (container_id)""".stripMargin,
     "q_roundtrip_verify" ->
       """SELECT CAST(0 AS BIGINT) AS psnr_violations,
         | CAST(0 AS BIGINT) AS caption_violations,

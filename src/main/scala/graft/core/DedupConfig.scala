@@ -58,6 +58,14 @@ final case class DedupConfig(
     // --- incremental index (kvstore analog, src/index/kvstore_htable.c:158-185:
     //     kv_update keeps at most index_value_length ids per feature, FIFO) ---
     indexValueLength: Int = 64, // max stored postings probed per bucket (newest first)
+    // --- index probe Bloom front-end (DDFS analog, src/utils/bloom_filter.c:98-127) ---
+    bloomFpp: Double = 0.03, // false-positive rate of the store-scan pre-filter
+    // --- restore locality / CFL selective rewrite (R2/R7,
+    //     src/cfl_rewrite.c:19-93, switch src/filter_phase.c:105-117;
+    //     defaults from destor.config:127-130) ---
+    containerBytes: Long = 4L << 20, // content-store container size (destor CONTAINER_SIZE)
+    cflUsageThreshold: Double = 0.03, // container utilization below which a restore's dups are out-of-order
+    cflRequire: Double = 0.6, // R7 switch: live CFL at/above this disables rewriting
     // --- misc ---
     seed: Long = 42L
 ) {

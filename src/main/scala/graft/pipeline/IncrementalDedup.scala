@@ -83,13 +83,31 @@ final class IncrementalDedup(
     val sk = DedupPipeline.candidatesSkewAware(newPost, cfg, inheritedHot)
 
     // 3. cross-batch probe: new postings vs the stored index
+    val probeCleanup = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     val crossRaw: DataFrame =
       if (io.hasBatches(PostStore)) {
         val old = io.readBatches(PostStore)
         val newKeys = newPost.select("band", "bucket").distinct()
-        // store-side prune: only buckets the new batch touches survive
-        // the scan (join keys pushed into the store read by AQE)
-        val touched = old.join(newKeys, Seq("band", "bucket"))
+          .persist(lvl)
+        probeCleanup += (() => { newKeys.unpersist(blocking = false); () })
+        // F7 Bloom front-end (DDFS's in-memory filter that prunes index
+        // probes, reference src/utils/bloom_filter.c:98-127): a
+        // driver-built Bloom over the new batch's bucket keys drops
+        // ~all store rows whose bucket the batch never touches BEFORE
+        // the shuffle join. The store side is |store| rows, the batch
+        // side |batch| — without the bloom every stored posting pays
+        // the exchange; with it only (touched + fpp * rest) do. False
+        // positives are removed by the equi-join; no false negatives.
+        val nKeys = newKeys.count()
+        val bloom = newKeys.stat.bloomFilter(
+          xxhash64(col("band"), col("bucket")), math.max(nKeys, 1L), cfg.bloomFpp)
+        val bloomBc = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+        // store-side prune: bloom first (narrow, pre-shuffle), then the
+        // exact equi-join on the batch's keys
+        val touched = old
+          .filter(mightContain(xxhash64(col("band"), col("bucket"))))
+          .join(newKeys, Seq("band", "bucket"))
         val w = Window.partitionBy("band", "bucket")
           .orderBy(col("ingest_seq").desc, col("image_id").desc)
         val capped = touched
@@ -136,6 +154,7 @@ final class IncrementalDedup(
     //    the store (single materialization; CC consumes the checkpoint)
     io.appendBatch(ver.toDF(), EdgeStore, runId)
     cleanupMid()
+    probeCleanup.foreach(_.apply())
     val newEdges = io.readBatch(EdgeStore, runId)
 
     // 6. cluster maintenance: previous assignments as star edges +

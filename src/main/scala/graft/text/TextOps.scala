@@ -41,6 +41,57 @@ object TextOps extends Serializable {
       .select(col("total_docs"), col("unique_docs"), col("total_chars"), col("unique_chars"))
   }
 
+  /** CFL selective rewrite over the documents table (R2/R7 +
+    * container packing W3, reference src/cfl_rewrite.c:19-93, switch
+    * src/filter_phase.c:105-117): canonicals are packed into per-source
+    * byte-bounded containers; a partial restore job (every 7th doc)
+    * references its canonical's container; dup docs referencing
+    * under-utilized containers are flagged for rewrite, the whole pass
+    * gated by the job's CFL (ContainerOps). Fully SQL-expressible, so
+    * DuckDB hash-checks packing, utilization, CFL, and both decisions. */
+  def cflRewrite(spark: SparkSession, dir: String,
+      containerBytes: Long = 4096L, usageThreshold: Double = 0.25,
+      cflRequire: Double = 0.6): DataFrame = {
+    import graft.ops.ContainerOps
+    val d = docs(spark, dir)
+    val canon = d.groupBy(md5(col("text")).as("k")).agg(min("doc_id").as("canonical_id"))
+    // canonical rows carry their own source/size — the packing inputs
+    val canonRows = canon.join(
+      d.select(col("doc_id").as("canonical_id"), col("source"), col("n_chars")),
+      "canonical_id")
+    val packed = ContainerOps.pack(
+      canonRows, col("source"), col("canonical_id"), col("n_chars"), containerBytes)
+      .select(col("k"), col("canonical_id").as("content_id"),
+        col("container_id"), col("n_chars").as("content_bytes"))
+    // the restore job: every 7th doc, resolved to its content container
+    val refs = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), md5(col("text")).as("k"))
+      .join(packed, "k")
+    ContainerOps.selectiveRewrite(refs, "doc_id", containerBytes,
+        usageThreshold, cflRequire)
+      .select(col("doc_id"), col("content_id"), col("container_id"),
+        round(col("utilization"), 4).as("util"),
+        col("out_of_order").cast("int").as("ooo"),
+        col("rewrite").cast("int").as("rewrite"))
+  }
+
+  /** Segment-level MinHash via the merge UDAF (U2): one signature per
+    * source from the per-doc signatures already computed — equal by the
+    * union property to re-shingling the whole source (DocOpsSpec
+    * asserts it), with map-side combine so the shuffle carries one
+    * K-long array per (source, partition). Pairwise source similarity
+    * then costs a broadcast-size self-join (sources are few). */
+  def sourceMinhash(spark: SparkSession, dir: String,
+      cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    val sigUdf = udf((text: String) =>
+      Sig.minhash(Sig.shingleHashes(text, cfg.shingleSize), cfg))
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), sigUdf(col("text")).as("sig"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.signatures.MinHashMerge.column(cfg.minhashK, col("sig")).as("sig"))
+  }
+
   /** Whitespace token count per doc (codegen'd builtins only). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
