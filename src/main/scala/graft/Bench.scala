@@ -39,23 +39,46 @@ object Bench {
   private def steal(): Long =
     scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")(8).toLong
 
-  /** Timed end-to-end pipeline on a pre-materialized corpus (cache +
-    * count BEFORE the clock starts — generation stands in for the
-    * storage read; the pipeline consumes `images` three times, so an
-    * uncached corpus would triple-count synthesis instead of measuring
-    * the engine). Returns (wallSec, stealTicks). */
+  /** Timed end-to-end pipeline over a parquet corpus table (written
+    * once, OUTSIDE the clock): the timed window measures scan →
+    * signatures → LSH → verify → clusters, exactly a production run's
+    * shape. Earlier rounds pinned the corpus MEMORY_ONLY instead; the
+    * ~1.5 GiB of long-lived deserialized rows that kept hot turned the
+    * collector into the scaling bottleneck (hundreds of GC-seconds per
+    * run at 32 threads) — a table scan keeps the input columnar and
+    * off-heap, as it is in any real deployment. Returns
+    * (wallSec, stealTicks). */
+  private def corpusDir(nGroups: Long): String = {
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    s"$base/graft-bench-corpus-$nGroups"
+  }
+
+  private def ensureCorpus(spark: SparkSession, nGroups: Long): String = {
+    val dir = corpusDir(nGroups)
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      CorpusGen.generate(spark, nGroups).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def dropCorpus(nGroups: Long): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val d = new java.io.File(corpusDir(nGroups))
+    if (d.exists()) rm(d)
+  }
+
   private def runPipeline(spark: SparkSession, nGroups: Long): (Double, Long) = {
-    val corpus = CorpusGen.generate(spark, nGroups)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    corpus.count() // materialize outside the timed window
+    import spark.implicits._
+    val images = spark.read.parquet(ensureCorpus(spark, nGroups)).as[graft.core.ImageRow]
     System.gc() // previous runs' cleanup work stays outside the clock
     Thread.sleep(200)
     val s0 = steal()
     val t0 = System.nanoTime()
-    DedupPipeline.run(corpus, cfg).count()
+    DedupPipeline.run(images, cfg).count()
     val dt = (System.nanoTime() - t0) / 1e9
     val st = steal() - s0
-    corpus.unpersist(blocking = false)
     (dt, st)
   }
 
@@ -111,6 +134,8 @@ object Bench {
     def minAt(rs: Seq[(Int, (Double, Long))], c: Int): Double =
       rs.collect { case (`c`, (t, _)) => t }.min
 
+    Seq(warmupGroups, nGroups, gateGroups).foreach(dropCorpus)
+
     val t8g = minAt(gate, 8)
     val t32g = minAt(gate, 32)
     val t2 = minAt(sec, 2)
@@ -149,11 +174,12 @@ object Bench {
     java.nio.file.Files.createDirectories(dir)
     val md = new StringBuilder
     md ++= s"# BENCH — two-parallelism scaling protocol (BASELINE.md)\n\n"
-    md ++= s"End-to-end near-dup pipeline (corpus gen → signatures → LSH →\n"
-    md ++= s"verify → clusters), deterministic synthetic corpus, IDENTICAL\n"
-    md ++= s"config at every level (128 shuffle partitions, fixed-size heap),\n"
-    md ++= s"levels interleaved in one JVM, min across reps, GC outside the\n"
-    md ++= s"timed windows. sfDir=$sfDir\n\n"
+    md ++= s"End-to-end near-dup pipeline (parquet scan → signatures → LSH →\n"
+    md ++= s"verify → clusters) over a deterministic synthetic corpus table\n"
+    md ++= s"written to tmpfs parquet outside the clock; IDENTICAL config at\n"
+    md ++= s"every level (128 shuffle partitions, fixed-size heap), levels\n"
+    md ++= s"interleaved in one JVM, min across reps, GC outside the timed\n"
+    md ++= s"windows. sfDir=$sfDir\n\n"
     md ++= s"## Gate pair 8 → 32 cores ($gateImages images — serial floor amortized)\n\n"
     md ++= "| parallelism | wall s (min) | images/sec |\n|---|---|---|\n"
     md ++= f"| local[8]  | $t8g%.2f | ${gateImages / t8g}%.1f |\n"

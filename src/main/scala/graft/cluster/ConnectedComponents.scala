@@ -66,10 +66,16 @@ object ConnectedComponents {
         .select(col("id"), col("id").as("label")))
     var iter = 0
     var converged = false
+    import spark.implicits._
     while (!converged && iter < maxIter) {
       // one pass: label'(v) = min(own label, neighbors' labels); the
       // self row carries the old label so the convergence signal needs
-      // no extra join
+      // no extra join. The changed-count rides an ACCUMULATOR bumped
+      // during the checkpoint materialization, so a round is exactly
+      // ONE driver-serialized job (a separate agg job per round was a
+      // visible Amdahl term at high core counts). Task retries can only
+      // overcount — harmless: convergence only tests for zero.
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
       val msgs = bidir
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .select(col("dst").as("id"), col("label"), lit(false).as("self"))
@@ -80,10 +86,17 @@ object ConnectedComponents {
           .agg(
             min("label").as("label"),
             min(when(col("self"), col("label"))).as("old"))
-          .select(col("id"), col("label"), (col("label") < col("old")).as("changed")))
-      val nChanged = next.agg(sum(when(col("changed"), 1L).otherwise(0L))).first().get(0)
-      labels = next.select("id", "label")
-      converged = nChanged == null || nChanged.asInstanceOf[Long] == 0L
+          .select(col("id"), col("label"), (col("label") < col("old")).as("changed"))
+          .as[(String, String, Boolean)]
+          .mapPartitions { it =>
+            it.map { case (id, label, changed) =>
+              if (changed) changedAcc.add(1L)
+              (id, label)
+            }
+          }
+          .toDF("id", "label"))
+      labels = next
+      converged = changedAcc.value == 0L
       iter += 1
     }
     vertices.select(col("id"))

@@ -36,6 +36,13 @@ object Sessions {
       // stages. 64k keeps small-stage parallelism proportional to
       // cores (at cluster data sizes the floor never binds anyway).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // File-scan split size: the 128 MiB default gives a ~1 GiB input
+      // table only ~8 scan partitions, so the CPU-heaviest narrow stage
+      // (signatures: decode+SHA+MinHash per row) cannot use more than 8
+      // cores no matter the level. 16 MiB keeps scan parallelism above
+      // the core count at bench scale; at cluster data sizes the file
+      // count dominates and this knob stops binding.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       // Dedup joins are equi-joins on high-cardinality keys whose
       // output never needs sort order: shuffled-hash beats sort-merge
       // (SMJ's interpreted row comparator showed up as the top CPU

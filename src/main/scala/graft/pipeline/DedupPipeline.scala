@@ -271,29 +271,26 @@ object DedupPipeline extends Serializable {
       .as[(Long, Int, Long, String, Long)]
       .persist(lvl)
 
-    // run-length bucket sizes: a LOCAL scan of the cached sort
-    val coldSizes = sorted.mapPartitions { it =>
-      val base = it.buffered
-      new Iterator[(Int, Long, Long)] {
-        def hasNext: Boolean = base.hasNext
-        def next(): (Int, Long, Long) = {
-          val (k, band, bucket, _, _) = base.head
-          var n = 0L
-          while (base.hasNext && base.head._1 == k && base.head._2 == band) {
-            base.next(); n += 1
-          }
-          (band, bucket, n)
-        }
-      }
-    }.toDF("band", "bucket", "n")
+    // bucket sizes: a LOCAL aggregation of the cached sort — `key` is in
+    // the grouping keys and the cache is hash-partitioned on `key`, so
+    // Catalyst plans this with NO exchange; the columnar cache decodes
+    // only the three grouping columns (an earlier typed-mapPartitions
+    // run-length scan deserialized all five columns into tuples)
+    val coldSizes = sorted.groupBy("key", "band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("band"), col("bucket"), col("n"))
 
     // CBR: exact histogram quantile (materializes the cache)
     val cap = SkewControl.adaptiveCap(coldSizes, cfg.skewQuantile, cfg.bucketCap)
 
-    // pair expansion: second LOCAL scan of the same cache
+    // pair expansion: second LOCAL scan of the same cache (projection
+    // first so the columnar cache never decodes `bucket`; a projection
+    // preserves the partitioning and the within-partition sort order)
     val coldPairs = sorted
+      .select(col("key"), col("band"), col("image_id"), col("payload"))
+      .as[(Long, Int, String, Long)]
       .mapPartitions(it =>
-        expandSorted(it.map { case (key, band, _, id, payload) => (band, key, id, payload) },
+        expandSorted(it.map { case (key, band, id, payload) => (band, key, id, payload) },
           cap, cfg.hammingMax))
       .toDF("id1", "id2", "srcbit")
 
