@@ -39,6 +39,29 @@ object Bench {
   private def steal(): Long =
     scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")(8).toLong
 
+  @volatile private var blackhole = 0L
+
+  /** Fixed single-thread CPU calibration (~300 ms undisturbed). The
+    * host shows multi-minute co-tenant interference windows during
+    * which identical runs go 3-8x slower while steal stays near zero
+    * (bandwidth/frequency effects invisible to steal accounting) — a
+    * wall-clocked fixed workload measures the EFFECTIVE machine speed
+    * directly. A rep bracketed by two near-best calibrations ran in a
+    * calm window; only those reps enter the scaling comparison. */
+  private def calibrate(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < 200000000L) { x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; i += 1 }
+    blackhole = x
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** One rep: (wallSec, stealTicks, calBefore ms, calAfter ms). */
+  final case class Rep(cores: Int, wall: Double, steal: Long, calB: Double, calA: Double) {
+    def cal: Double = math.max(calB, calA)
+  }
+
   /** Timed end-to-end pipeline over a parquet corpus table (written
     * once, OUTSIDE the clock): the timed window measures scan →
     * signatures → LSH → verify → clusters, exactly a production run's
@@ -86,13 +109,44 @@ object Bench {
     Sessions.local(cores, ScalingPartitions, s"graft-bench-$cores")
 
   /** One timed pipeline run at `cores` in a fresh session (JIT/codegen
-    * stay warm across sessions in this JVM). */
-  private def timedRun(cores: Int, nGroups: Long): (Double, Long) = {
+    * stay warm across sessions in this JVM), bracketed by calibration
+    * probes so interference-window reps can be rejected. */
+  private def timedRun(cores: Int, nGroups: Long): Rep = {
+    val calB = calibrate()
     val spark = session(cores)
-    val r = runPipeline(spark, nGroups)
+    val (wall, st) = runPipeline(spark, nGroups)
     spark.stop()
-    r
+    val calA = calibrate()
+    Rep(cores, wall, st, calB, calA)
   }
+
+  /** Interleaved pairs of (loCores, hiCores) reps until BOTH levels are
+    * STABLE — the two fastest reps at a level agree within `tol` — or
+    * `maxPairs` pairs ran. Interference on this host only ever slows a
+    * run (co-tenant bandwidth/frequency contention), so the min is the
+    * clean estimate and a min CONFIRMED by a second near-identical rep
+    * is trustworthy; bracketing calibrations are recorded as
+    * diagnostics (they can miss mid-run interference, so they gate
+    * nothing). */
+  private def gatedPairs(lo: Int, hi: Int, nGroups: Long,
+      minPairs: Int, maxPairs: Int, tol: Double): Seq[Rep] = {
+    val reps = scala.collection.mutable.ArrayBuffer.empty[Rep]
+    def stable(c: Int): Boolean = {
+      val ws = reps.iterator.filter(_.cores == c).map(_.wall).toSeq.sorted
+      ws.length >= 2 && ws(1) <= ws.head * tol
+    }
+    var pairs = 0
+    while (pairs < maxPairs &&
+        (pairs < minPairs || !stable(lo) || !stable(hi))) {
+      reps += timedRun(lo, nGroups)
+      reps += timedRun(hi, nGroups)
+      pairs += 1
+    }
+    reps.toSeq
+  }
+
+  private def minAt(reps: Seq[Rep], c: Int): Double =
+    reps.filter(_.cores == c).map(_.wall).min
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,17 +176,10 @@ object Bench {
         CorpusGen.generate(spark32, SparkEntry.groupsFor(sfDir)), cfg).count()))
     spark32.stop()
 
-    // scaling protocol: interleaved min-of-N per level
-    val gateReps = 3
-    val gate = (1 to gateReps).flatMap { _ =>
-      Seq(8 -> timedRun(8, gateGroups), 32 -> timedRun(32, gateGroups))
-    }
-    val secReps = 2
-    val sec = (1 to secReps).flatMap { _ =>
-      Seq(2 -> timedRun(2, nGroups), 8 -> timedRun(8, nGroups))
-    }
-    def minAt(rs: Seq[(Int, (Double, Long))], c: Int): Double =
-      rs.collect { case (`c`, (t, _)) => t }.min
+    // scaling protocol: interleaved reps, stability-gated per level
+    val tol = 1.10
+    val gate = gatedPairs(8, 32, gateGroups, minPairs = 2, maxPairs = 5, tol = tol)
+    val sec = gatedPairs(2, 8, nGroups, minPairs = 2, maxPairs = 4, tol = tol)
 
     Seq(warmupGroups, nGroups, gateGroups).foreach(dropCorpus)
 
@@ -168,7 +215,7 @@ object Bench {
   private def writeBenchMd(sfDir: String, images: Long, gateImages: Long,
       t2: Double, t8: Double, t8g: Double, t32g: Double,
       eff28: Double, eff832: Double,
-      gate: Seq[(Int, (Double, Long))], sec: Seq[(Int, (Double, Long))],
+      gate: Seq[Rep], sec: Seq[Rep],
       queryTimes: Seq[(String, Double)]): Unit = {
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
@@ -190,14 +237,21 @@ object Bench {
     md ++= f"| local[2]  | $t2%.2f | ${images / t2}%.1f |\n"
     md ++= f"| local[8]  | $t8%.2f | ${images / t8}%.1f |\n\n"
     md ++= f"**Scaling efficiency 2→8 (speedup/4): $eff28%.3f**\n\n"
-    md ++= "## All samples (interleaved run order; steal = /proc/stat ticks during the run)\n\n"
-    md ++= "| pair | cores | wall s | steal ticks |\n|---|---|---|---|\n"
-    gate.foreach { case (c, (t, s)) => md ++= f"| gate | $c | $t%.2f | $s |\n" }
-    sec.foreach { case (c, (t, s)) => md ++= f"| secondary | $c | $t%.2f | $s |\n" }
+    md ++= "## All samples (interleaved run order; cal = bracketing fixed-CPU calibration, ms)\n\n"
+    md ++= "| pair | cores | wall s | steal ticks | cal ms |\n|---|---|---|---|---|\n"
+    def row(p: String, r: Rep): Unit =
+      md ++= f"| $p | ${r.cores} | ${r.wall}%.2f | ${r.steal} | ${r.calB}%.0f/${r.calA}%.0f |\n"
+    gate.foreach(row("gate", _))
+    sec.foreach(row("secondary", _))
     md ++= "\nThe host shows multi-minute interference windows (identical runs\n"
     md ++= "3-8x slower at ~1%% steal — co-tenant bandwidth/frequency effects\n"
     md ++= "invisible to steal accounting; see doc/shuffle-scaling-notes.md).\n"
-    md ++= "Min-of-reps over interleaved levels is the unbiased comparison.\n\n"
+    md ++= "Interference only ever SLOWS a run, so min-of-reps is the clean\n"
+    md ++= "estimate; rep pairs keep running (interleaved, up to a cap)\n"
+    md ++= "until each level's two fastest reps agree within 10%, i.e. the\n"
+    md ++= "min is confirmed by an independent rep. The bracketing fixed-CPU\n"
+    md ++= "calibrations (~320 ms on a calm host) are diagnostics: a high\n"
+    md ++= "value flags a degraded window around that rep.\n\n"
     md ++= "## Why two pairs (single-box measurement limits)\n\n"
     md ++= "The north rule's criterion is N -> 4N EXECUTORS, where every\n"
     md ++= "executor adds its own memory system. A single box shares one\n"

@@ -54,11 +54,14 @@ object ConnectedComponents {
     */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
     // pre-partition the (loop-invariant) bidirectional edge table by
-    // src so each round's propagate join only moves the label side
+    // src so each round's propagate join only moves the label side.
+    // No dedup pass: duplicate edges only produce duplicate messages
+    // into a min() aggregate — harmless — and this engine's pair
+    // stream is already unique per (id1<id2), so a distinct() here
+    // was a pure extra shuffle+job per run.
     val bidir = checkpointFresh(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
         .repartition(col("src")))
 
     var labels = checkpointFresh(
@@ -79,14 +82,28 @@ object ConnectedComponents {
       val msgs = bidir
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .select(col("dst").as("id"), col("label"), lit(false).as("self"))
+      val prop = labels.select(col("id"), col("label"), lit(true).as("self"))
+        .union(msgs)
+        .groupBy("id")
+        .agg(
+          min("label").as("label"),
+          min(when(col("self"), col("label"))).as("old"))
+      // pointer-jump compression IN THE SAME round plan: label'(v) =
+      // label(label(v)). Propagate alone needs diameter+1 rounds — the
+      // measured corpus produced ~13 driver-serialized round-jobs on
+      // chain-shaped components; with per-round jumping the label
+      // distance to the component min halves each round (~log2 d
+      // rounds). The self-join recomputes the (small) aggregation
+      // subtree once more inside the round job — cheaper than the
+      // alternative second checkpoint job per round.
       val next = checkpointFresh(
-        labels.select(col("id"), col("label"), lit(true).as("self"))
-          .union(msgs)
-          .groupBy("id")
-          .agg(
-            min("label").as("label"),
-            min(when(col("self"), col("label"))).as("old"))
-          .select(col("id"), col("label"), (col("label") < col("old")).as("changed"))
+        prop
+          .join(
+            prop.select(col("id").as("label"), col("label").as("label2")),
+            Seq("label"), "left")
+          .select(col("id"),
+            coalesce(col("label2"), col("label")).as("label"),
+            (coalesce(col("label2"), col("label")) < col("old")).as("changed"))
           .as[(String, String, Boolean)]
           .mapPartitions { it =>
             it.map { case (id, label, changed) =>

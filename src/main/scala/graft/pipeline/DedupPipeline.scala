@@ -424,7 +424,11 @@ object DedupPipeline extends Serializable {
       // — persist AND materialize eagerly, otherwise the union's
       // subplans race and each computes the caption joins
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    mid.count() // eager: see comment above
+    // eager materialization (see above) with the needPixel count riding
+    // the same job — it drives the broadcast decision below for free
+    val needCount = mid.toDF().agg(
+      count(lit(1)), sum(when(col("needPixel"), 1L).otherwise(0L)))
+      .first().getAs[Any](1) match { case null => 0L; case n: Long => n }
 
     val settled = mid.filter(m => m.verdict.nonEmpty && !m.needPixel).map(m =>
       VerifiedPair(m.id1, m.id2, m.src, m.jaccard, m.hamming,
@@ -437,8 +441,18 @@ object DedupPipeline extends Serializable {
     // don't each re-scan and re-decompress the full corpus bytes
     // column (the pipeline's widest column; round 1 scanned it twice).
     val needPix = mid.filter(_.needPixel).toDF()
-    val needIds = needPix.select(col("id1").as("image_id"))
+    val needIdsRaw = needPix.select(col("id1").as("image_id"))
       .union(needPix.select(col("id2").as("image_id"))).distinct()
+    // broadcast the pruning ids when bounded: a shuffled semi-join here
+    // hash-exchanges the ENTIRE corpus `bytes` column just to match ids
+    // (measured 25 s of a 59 s pipeline at 400k images — the single
+    // largest verify job). With the id list broadcast, `bytes` rows
+    // stream scan→filter→cache and never hit a shuffle. Above the
+    // threshold (pathological corpus where most pairs need pixel
+    // verification) the shuffled join is the correct plan and AQE
+    // handles it.
+    val needIds =
+      if (needCount * 2 <= 4000000L) broadcast(needIdsRaw) else needIdsRaw
     val pix = images.select(col("image_id"), col("bytes"), col("fmt"))
       .join(needIds, "image_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
