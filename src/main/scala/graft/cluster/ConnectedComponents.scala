@@ -64,9 +64,7 @@ object ConnectedComponents {
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("src")))
 
-    var labels = checkpointFresh(
-      bidir.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
+    var labels: DataFrame = null
     var iter = 0
     var converged = false
     import spark.implicits._
@@ -79,11 +77,21 @@ object ConnectedComponents {
       // visible Amdahl term at high core counts). Task retries can only
       // overcount — harmless: convergence only tests for zero.
       val changedAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
-      val msgs = bidir
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .select(col("dst").as("id"), col("label"), lit(false).as("self"))
-      val prop = labels.select(col("id"), col("label"), lit(true).as("self"))
-        .union(msgs)
+      // Round 1 under identity labels needs NO init table and NO join:
+      // the neighbor message along (src→dst) is just src itself, and
+      // the self rows need no distinct (the groupBy dedups). This
+      // replaces a separate identity-label checkpoint job + round-1
+      // propagate join.
+      val pre =
+        if (labels == null)
+          bidir.select(col("dst").as("id"), col("src").as("label"), lit(false).as("self"))
+            .union(bidir.select(col("src").as("id"), col("src").as("label"), lit(true).as("self")))
+        else
+          labels.select(col("id"), col("label"), lit(true).as("self"))
+            .union(bidir
+              .join(labels.select(col("id").as("src"), col("label")), "src")
+              .select(col("dst").as("id"), col("label"), lit(false).as("self")))
+      val prop = pre
         .groupBy("id")
         .agg(
           min("label").as("label"),
