@@ -172,8 +172,15 @@ object Bench {
       "embed_ann" -> minOf2(graft.sim.EmbedOps.annTopK(spark32, sfDir).count()),
       "substr_dups" -> minOf2(graft.text.TextOps.substrDedup(spark32, sfDir, cfg).count()),
       "cfl_rewrite" -> minOf2(graft.text.TextOps.cflRewrite(spark32, sfDir).count()),
-      "roundtrip_verify" -> minOf2(graft.pipeline.RestoreOps.roundTrip(
-        CorpusGen.generate(spark32, SparkEntry.groupsFor(sfDir)), cfg).count()))
+      "roundtrip_verify" -> {
+        // table-backed corpus (the real calling shape): a bare
+        // CorpusGen dataset would re-generate pixels on each of the
+        // ~7 scans inside the restore job
+        import spark32.implicits._
+        val imgs = spark32.read.parquet(ensureCorpus(spark32, SparkEntry.groupsFor(sfDir)))
+          .as[graft.core.ImageRow]
+        minOf2(graft.pipeline.RestoreOps.roundTrip(imgs, cfg).count())
+      })
     spark32.stop()
 
     // scaling protocol: interleaved reps, stability-gated per level
@@ -181,7 +188,7 @@ object Bench {
     val gate = gatedPairs(8, 32, gateGroups, minPairs = 2, maxPairs = 5, tol = tol)
     val sec = gatedPairs(2, 8, nGroups, minPairs = 2, maxPairs = 4, tol = tol)
 
-    Seq(warmupGroups, nGroups, gateGroups).foreach(dropCorpus)
+    Seq(warmupGroups, nGroups, gateGroups, SparkEntry.groupsFor(sfDir)).foreach(dropCorpus)
 
     val t8g = minAt(gate, 8)
     val t32g = minAt(gate, 32)

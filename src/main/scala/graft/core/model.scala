@@ -31,6 +31,16 @@ final case class ImageRow(
   */
 final case class SignatureRow(
     image_id: String,
+    /** 64-bit internal id = Sig.hash64(image_id) — the ONLY id that the
+      * posting/pair hot path shuffles (a string id would roughly double
+      * posting-shuffle bytes and pay a UTF8String→String decode per row;
+      * at 10^12 rows that is the difference between a radix-sortable
+      * 36-byte posting and a 56-byte one). Collisions are SAFE by
+      * construction: verify re-joins candidates to signature rows by nid
+      * and applies the exact predicates per joined row, so a collision
+      * only creates extra exactly-verified candidate rows (plus
+      * discarded self-pairs), never a false merge. */
+    nid: Long,
     sha: String, // hex sha1 over (len(bytes) ++ bytes ++ caption) — exact-dup identity
     pixsha: String, // hex sha1 over decoded RAW pixels — exact-pixel dup key
     bands: Array[Long], // LSH band keys of the caption MinHash
@@ -54,7 +64,7 @@ final case class SignatureRow(
   * grow ~n^2/keyspace; filtering before the pair shuffle keeps the
   * candidate stream linear). 0 for bands with no payload semantics.
   */
-final case class BucketRow(band: Int, bucket: Long, image_id: String, payload: Long = 0L)
+final case class BucketRow(band: Int, bucket: Long, nid: Long, payload: Long = 0L)
 
 /** An unverified candidate pair (id1 < id2 lexicographically).
   * `src` names the generating stage: "exact" | "minhash" | "phash" |

@@ -35,11 +35,21 @@ private[pipeline] final case class Mid(id1: String, id2: String, src: String,
 
 object DedupPipeline extends Serializable {
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
   private def hex(b: Array[Byte]): String = {
-    val sb = new StringBuilder(b.length * 2)
+    // char-table encode: a Formatter-based (f"%02x") loop allocated one
+    // java.util.Formatter per BYTE and showed up in task stack samples
+    // of the signatures stage (~16M instances at 400k images)
+    val out = new Array[Char](b.length * 2)
     var i = 0
-    while (i < b.length) { sb.append(f"${b(i) & 0xff}%02x"); i += 1 }
-    sb.toString
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      out(i * 2) = HexDigits(v >>> 4)
+      out(i * 2 + 1) = HexDigits(v & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   // --- band-id namespaces: one flat (band,bucket) key space for every
@@ -79,6 +89,7 @@ object DedupPipeline extends Serializable {
         while (uniform && i < pix.length) { uniform = pix(i) == pix(0); i += 1 }
         SignatureRow(
           image_id = r.image_id,
+          nid = Sig.hash64(r.image_id),
           sha = sha,
           pixsha = pixsha,
           bands = Sig.bandKeys(Sig.minhash(shingles, cfg), cfg),
@@ -104,18 +115,18 @@ object DedupPipeline extends Serializable {
       val out = scala.collection.mutable.ArrayBuffer.empty[BucketRow]
       val bk = s.bands
       var b = 0
-      while (b < bk.length) { out += BucketRow(b, bk(b), s.image_id); b += 1 }
+      while (b < bk.length) { out += BucketRow(b, bk(b), s.nid); b += 1 }
       val pk = Sig.hammingComboKeys(s.phash, cfg.phashBlocks, cfg.phashCombo)
       b = 0
-      while (b < pk.length) { out += BucketRow(BandPhash + b, pk(b), s.image_id, s.phash); b += 1 }
+      while (b < pk.length) { out += BucketRow(BandPhash + b, pk(b), s.nid, s.phash); b += 1 }
       val cap = s.caption.toLowerCase
       if (cap.length >= cfg.substrMinChars) {
         val fps = Sig.captionFingerprints(s.caption, cfg.substrGram, cfg.substrWindow)
         var i = 0
-        while (i < fps.length) { out += BucketRow(BandSubstr, fps(i), s.image_id); i += 1 }
+        while (i < fps.length) { out += BucketRow(BandSubstr, fps(i), s.nid); i += 1 }
       }
-      out += BucketRow(BandExactSha, Sig.hash64(s.sha), s.image_id)
-      out += BucketRow(BandExactPix, Sig.hash64(s.pixsha), s.image_id)
+      out += BucketRow(BandExactSha, Sig.hash64(s.sha), s.nid)
+      out += BucketRow(BandExactPix, Sig.hash64(s.pixsha), s.nid)
       out
     }
   }
@@ -163,10 +174,10 @@ object DedupPipeline extends Serializable {
     // srcbit and as a group tie-break under collisions.
     bk.select(
         xxhash64(col("band"), col("bucket")).as("key"),
-        col("band"), col("image_id"), col("payload"))
+        col("band"), col("nid"), col("payload"))
       .repartition(col("key"))
       .sortWithinPartitions("key", "band")
-      .as[(Long, Int, String, Long)]
+      .as[(Long, Int, Long, Long)]
       .mapPartitions(it =>
         expandSorted(it.map { case (key, band, id, payload) => (band, key, id, payload) },
           cap, cfg.hammingMax))
@@ -185,9 +196,9 @@ object DedupPipeline extends Serializable {
     * the pair-dedup shuffle (bucket key saturation makes random
     * collisions ~n^2/keyspace at scale). */
   private def expandSorted(
-      it: Iterator[(Int, Long, String, Long)],
-      cap: Int, hamMax: Int): Iterator[(String, String, Int)] =
-    graft.ops.PairGen.groupRuns[String, (String, String, Int)](
+      it: Iterator[(Int, Long, Long, Long)],
+      cap: Int, hamMax: Int): Iterator[(Long, Long, Int)] =
+    graft.ops.PairGen.groupRuns[Long, (Long, Long, Int)](
       it,
       (band, _, m, p) => {
         graft.ops.PairGen.sortWithPayload(m, p)
@@ -207,6 +218,10 @@ object DedupPipeline extends Serializable {
     * band a pair was seen in, label with the strongest evidence class. */
   private[pipeline] def finishCandidates(pairs: DataFrame): DataFrame =
     pairs
+      // nid-collision guard: two distinct images hashing to the same nid
+      // inside one bucket would emit a degenerate self-pair — drop it
+      // (the real A-B pair still surfaces through verify's m:n sig join)
+      .filter(col("id1") =!= col("id2"))
       .groupBy("id1", "id2")
       .agg(expr("cast(bit_or(srcbit) as int)").as("srcmask"))
       .withColumn("src",
@@ -265,10 +280,10 @@ object DedupPipeline extends Serializable {
     // histogram quantile).
     val sorted = coldRaw
       .select(xxhash64(col("band"), col("bucket")).as("key"),
-        col("band"), col("bucket"), col("image_id"), col("payload"))
+        col("band"), col("bucket"), col("nid"), col("payload"))
       .repartition(col("key"))
       .sortWithinPartitions("key", "band")
-      .as[(Long, Int, Long, String, Long)]
+      .as[(Long, Int, Long, Long, Long)]
       .persist(lvl)
 
     // bucket sizes: a LOCAL aggregation of the cached sort — `key` is in
@@ -287,8 +302,8 @@ object DedupPipeline extends Serializable {
     // first so the columnar cache never decodes `bucket`; a projection
     // preserves the partitioning and the within-partition sort order)
     val coldPairs = sorted
-      .select(col("key"), col("band"), col("image_id"), col("payload"))
-      .as[(Long, Int, String, Long)]
+      .select(col("key"), col("band"), col("nid"), col("payload"))
+      .as[(Long, Int, Long, Long)]
       .mapPartitions(it =>
         expandSorted(it.map { case (key, band, id, payload) => (band, key, id, payload) },
           cap, cfg.hammingMax))
@@ -300,7 +315,7 @@ object DedupPipeline extends Serializable {
         // tiny (one row per inherited bucket), persisted for its three
         // consumers (star join, shrink re-route, hot list)
         val minPer = hp.groupBy("band", "bucket")
-          .agg(min(struct(col("image_id"), col("payload"))).as("m"),
+          .agg(min(struct(col("nid"), col("payload"))).as("m"),
             count(lit(1)).as("n"))
           .persist(lvl)
         val srcbitCol =
@@ -314,9 +329,9 @@ object DedupPipeline extends Serializable {
         // still-hot inherited keys: star pairs via broadcast min-join
         val starred = hp
           .join(broadcast(minPer.filter(col("n") > cap)), Seq("band", "bucket"))
-          .filter(col("image_id") =!= col("m.image_id"))
+          .filter(col("nid") =!= col("m.nid"))
           .filter(hamOk)
-          .select(col("m.image_id").as("id1"), col("image_id").as("id2"),
+          .select(col("m.nid").as("id1"), col("nid").as("id2"),
             srcbitCol.as("srcbit"))
         // inherited keys that SHRANK below the cap must be all-paired —
         // re-routed through a (tiny) expander pass so the pair set stays
@@ -368,18 +383,27 @@ object DedupPipeline extends Serializable {
     // hamming-close by construction. Round 1 carried a redundant
     // two-join bit_count pre-filter here; it filtered nothing and cost
     // two exchanges plus a second consumer of `cand`.
+    // candidates carry 64-bit nids; the sig join resolves them back to
+    // string image ids (every downstream consumer — CC, restore, API —
+    // speaks image_id). An nid collision fans out m:n here; each joined
+    // row is verified EXACTLY below, so collisions cost extra rows,
+    // never correctness (self-combos are dropped by the img_1 != img_2
+    // filter).
     val toFull = cand.select("id1", "id2", "src")
 
     val s1 = sigs.select(
-      col("image_id").as("id1"), col("sha").as("sha_1"), col("pixsha").as("pixsha_1"),
+      col("nid").as("id1"), col("image_id").as("img_1"),
+      col("sha").as("sha_1"), col("pixsha").as("pixsha_1"),
       col("phash").as("phash_1"), col("caption").as("cap_1"))
     val s2 = sigs.select(
-      col("image_id").as("id2"), col("sha").as("sha_2"), col("pixsha").as("pixsha_2"),
+      col("nid").as("id2"), col("image_id").as("img_2"),
+      col("sha").as("sha_2"), col("pixsha").as("pixsha_2"),
       col("phash").as("phash_2"), col("caption").as("cap_2"))
     val joined = toFull.join(s1, "id1").join(s2, "id2")
+      .filter(col("img_1") =!= col("img_2"))
 
     val mid = joined
-      .select("id1", "id2", "src", "sha_1", "sha_2", "pixsha_1", "pixsha_2",
+      .select("img_1", "img_2", "src", "sha_1", "sha_2", "pixsha_1", "pixsha_2",
         "phash_1", "phash_2", "cap_1", "cap_2")
       .as[(String, String, String, String, String, String, String, Long, Long, String, String)]
       .mapPartitions { it =>
@@ -393,7 +417,15 @@ object DedupPipeline extends Serializable {
           if (r == null) { r = Sig.shingleHashes(cap, cfg.shingleSize); memo.put(cap, r) }
           r
         }
-        it.map { case (id1, id2, src, shaA, shaB, pixA, pixB, phA, phB, capA, capB) =>
+        it.map { case (i1, i2, src, sA, sB, pA, pB, hA, hB, cA, cB) =>
+          // canonical pair order = lexicographic image_id (nids order the
+          // shuffle; output pairs keep the string-id convention)
+          val flip = i1 > i2
+          val (id1, id2) = if (flip) (i2, i1) else (i1, i2)
+          val (shaA, shaB) = if (flip) (sB, sA) else (sA, sB)
+          val (pixA, pixB) = if (flip) (pB, pA) else (pA, pB)
+          val (phA, phB) = if (flip) (hB, hA) else (hA, hB)
+          val (capA, capB) = if (flip) (cB, cA) else (cA, cB)
           val ham = Sig.hamming(phA, phB)
           val ja =
             if (shaA == shaB) 1.0 // identical bytes+caption

@@ -109,12 +109,12 @@ final class IncrementalDedup(
           .filter(mightContain(xxhash64(col("band"), col("bucket"))))
           .join(newKeys, Seq("band", "bucket"))
         val w = Window.partitionBy("band", "bucket")
-          .orderBy(col("ingest_seq").desc, col("image_id").desc)
+          .orderBy(col("ingest_seq").desc, col("nid").desc)
         val capped = touched
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= cfg.indexValueLength)
           .select(col("band"), col("bucket"),
-            col("image_id").as("old_id"), col("payload").as("old_payload"))
+            col("nid").as("old_id"), col("payload").as("old_payload"))
         val srcbitCol =
           when(col("band") < DedupPipeline.BandPhash, DedupPipeline.SrcMinhash)
             .when(col("band") < DedupPipeline.BandSubstr, DedupPipeline.SrcPhash)
@@ -124,13 +124,13 @@ final class IncrementalDedup(
           col("band") >= DedupPipeline.BandPhash && col("band") < DedupPipeline.BandSubstr,
           expr(s"bit_count(payload ^ old_payload) <= ${cfg.hammingMax}")).otherwise(lit(true))
         newPost.toDF().join(capped, Seq("band", "bucket"))
-          .filter(col("image_id") =!= col("old_id"))
+          .filter(col("nid") =!= col("old_id"))
           .filter(hamOk)
           .select(
-            least(col("image_id"), col("old_id")).as("id1"),
-            greatest(col("image_id"), col("old_id")).as("id2"),
+            least(col("nid"), col("old_id")).as("id1"),
+            greatest(col("nid"), col("old_id")).as("id2"),
             srcbitCol.as("srcbit"))
-      } else spark.emptyDataset[(String, String, Int)].toDF("id1", "id2", "srcbit")
+      } else spark.emptyDataset[(Long, Long, Int)].toDF("id1", "id2", "srcbit")
 
     // one cross-source pair dedup: srcmask = bit_or over within + cross
     val cand = DedupPipeline.finishCandidates(

@@ -73,8 +73,13 @@ class PipelineSpec extends AnyFunSuite {
     val bad = verPairs -- oraclePairs
     assert(bad.isEmpty, s"false positives: ${bad.take(5)}")
     // and candidate generation is why recall holds: oracle pairs minus
-    // candidates must be (nearly) empty
-    val candPairs = cand.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // candidates must be (nearly) empty (candidates speak nids —
+    // translate back through the image_id hash and normalize order)
+    val byNid = local.map(r => graft.signatures.Sig.hash64(r.image_id) -> r.image_id).toMap
+    val candPairs = cand.collect().map { r =>
+      val a = byNid(r.getLong(0)); val b = byNid(r.getLong(1))
+      if (a <= b) (a, b) else (b, a)
+    }.toSet
     val missedCand = oraclePairs -- candPairs
     assert(missedCand.size <= math.max(1, oraclePairs.size / 100), s"candidate misses: ${missedCand.take(5)}")
   }
@@ -93,8 +98,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(skewIds.size == 4 * (nGroups / 5 + (if (nGroups % 5 > 4) 1 else 0)))
     val sigs = DedupPipeline.signatures(corpus, cfgHot)
     val bk = DedupPipeline.buckets(sigs, cfgHot)
+    val byNid = local.map(r => graft.signatures.Sig.hash64(r.image_id) -> r.image_id).toMap
     val cand = DedupPipeline.candidates(bk, cfgHot).collect()
-      .map(r => (r.getString(0), r.getString(1)))
+      .map(r => (byNid(r.getLong(0)), byNid(r.getLong(1))))
     val hotPairs = cand.filter { case (a, b) => skewIds(a) && skewIds(b) }
     val n = skewIds.size
     val allPairs = n * (n - 1) / 2

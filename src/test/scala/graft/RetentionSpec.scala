@@ -49,9 +49,10 @@ class RetentionSpec extends AnyFunSuite {
     val edgesAfter = inc.io.readBatches(IncrementalDedup.EdgeStore)
       .select("id1", "id2").collect().map(r => (r.getString(0), r.getString(1)))
     assert(edgesAfter.forall { case (x, y) => !aIds.contains(x) && !aIds.contains(y) })
-    val postIds = inc.io.readBatches(IncrementalDedup.PostStore)
-      .select("image_id").distinct().collect().map(_.getString(0)).toSet
-    assert(postIds.intersect(aIds).isEmpty)
+    val postNids = inc.io.readBatches(IncrementalDedup.PostStore)
+      .select("nid").distinct().collect().map(_.getLong(0)).toSet
+    val aNids = aIds.map(graft.signatures.Sig.hash64)
+    assert(postNids.intersect(aNids).isEmpty)
 
     // clusters == one-shot over the survivors (components re-split
     // correctly when their bridge rows died with batch A)

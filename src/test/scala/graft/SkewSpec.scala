@@ -16,9 +16,10 @@ class SkewSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  // synthetic nid scheme: bucket b's members are [b*100000, b*100000+n)
   private def postings(sizes: Seq[Int]): Seq[BucketRow] =
     sizes.zipWithIndex.flatMap { case (n, b) =>
-      (0 until n).map(i => BucketRow(0, b.toLong * 1000003L, f"img$b%04d_$i%05d"))
+      (0 until n).map(i => BucketRow(0, b.toLong * 1000003L, b.toLong * 100000 + i))
     }
 
   test("CBR: shifted bucket-size distribution re-derives the cap (knob not dead)") {
@@ -36,11 +37,11 @@ class SkewSpec extends AnyFunSuite {
     // per bucket), NOT star-paired (99) — the static cap would have
     // star-paired the entire corpus
     val sk = DedupPipeline.candidatesSkewAware(bk, cfg, None)
-    val one = sk.pairs.filter(s"id1 like 'img0000%'").count()
+    val one = sk.pairs.filter("id1 < 100000").count()
     assert(sk.capUsed == cap)
     assert(one == 100L * 99 / 2, s"bucket0 pairs=$one")
     // the mega-bucket is above the adaptive cap: star pairs only
-    val mega = sk.pairs.filter(s"id1 like 'img0200%' or id2 like 'img0200%'").count()
+    val mega = sk.pairs.filter("id1 >= 20000000 or id2 >= 20000000").count()
     assert(mega == 4999, s"mega pairs=$mega")
     // and it is reported as hot for the next run (HAR handoff)
     val hot = sk.hotBuckets.collect()
@@ -53,7 +54,7 @@ class SkewSpec extends AnyFunSuite {
     val bk = spark.createDataset(postings(dist))
 
     val base = DedupPipeline.candidatesSkewAware(bk, cfg, None)
-    val basePairs = base.pairs.select("id1", "id2", "srcmask").as[(String, String, Int)]
+    val basePairs = base.pairs.select("id1", "id2", "srcmask").as[(Long, Long, Int)]
       .collect().toSet
     val hot = base.hotBuckets
     assert(hot.count() == 1)
@@ -61,7 +62,7 @@ class SkewSpec extends AnyFunSuite {
     // run 2 "inherits" run 1's hot list: identical candidates, but the
     // hot bucket's postings never enter the sort shuffle
     val har = DedupPipeline.candidatesSkewAware(bk, cfg, Some(hot))
-    val harPairs = har.pairs.select("id1", "id2", "srcmask").as[(String, String, Int)]
+    val harPairs = har.pairs.select("id1", "id2", "srcmask").as[(Long, Long, Int)]
       .collect().toSet
     assert(harPairs == basePairs)
     base.cleanup(); har.cleanup()
@@ -74,31 +75,31 @@ class SkewSpec extends AnyFunSuite {
     val cfgSmall = cfg.copy(bucketCap = 4)
     val band = DedupPipeline.BandPhash
     val members = Seq(
-      ("a1", 0L), ("a2", 1L), ("a3", 3L), // hamming(0, x) <= 2 bits
-      ("f1", 0x00ffffffffL), ("f2", 0xffff000000L)) // far
-    val filler = (0 until 200).map(i => BucketRow(0, 500L + i, f"z$i%04d"))
+      (1L, 0L), (2L, 1L), (3L, 3L), // hamming(0, x) <= 2 bits
+      (4L, 0x00ffffffffL), (5L, 0xffff000000L)) // far
+    val filler = (0 until 200).map(i => BucketRow(0, 500L + i, 900000L + i))
     val bk = spark.createDataset(
       members.map { case (id, p) => BucketRow(band, 7L, id, p) } ++ filler)
     val hot = Seq((band, 7L, 5L)).toDF("band", "bucket", "n")
     val har = DedupPipeline.candidatesSkewAware(bk, cfgSmall, Some(hot))
     assert(har.capUsed == 4)
-    val pairs = har.pairs.select("id1", "id2").as[(String, String)].collect().toSet
-    // star from min member a1 (payload 0): far members rejected by the
-    // hamming gate exactly as the streamed expander would
-    assert(pairs == Set(("a1", "a2"), ("a1", "a3")))
+    val pairs = har.pairs.select("id1", "id2").as[(Long, Long)].collect().toSet
+    // star from min member nid 1 (payload 0): far members rejected by
+    // the hamming gate exactly as the streamed expander would
+    assert(pairs == Set((1L, 2L), (1L, 3L)))
     har.cleanup()
   }
 
   test("HAR: an inherited key that shrank below the cap is all-paired again") {
     // run-2 bucket has only 3 members though it was hot last run: the
     // star path must NOT fire (pair set == plain expander's all-pairs)
-    val filler = (0 until 200).map(i => BucketRow(0, 500L + i, f"z$i%04d"))
+    val filler = (0 until 200).map(i => BucketRow(0, 500L + i, 900000L + i))
     val bk = spark.createDataset(
-      Seq("b1", "b2", "b3").map(id => BucketRow(0, 7L, id)) ++ filler)
+      Seq(1L, 2L, 3L).map(id => BucketRow(0, 7L, id)) ++ filler)
     val hot = Seq((0, 7L, 999L)).toDF("band", "bucket", "n")
     val har = DedupPipeline.candidatesSkewAware(bk, cfg, Some(hot))
-    val pairs = har.pairs.select("id1", "id2").as[(String, String)].collect().toSet
-    assert(pairs == Set(("b1", "b2"), ("b1", "b3"), ("b2", "b3")))
+    val pairs = har.pairs.select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
     har.cleanup()
   }
 
