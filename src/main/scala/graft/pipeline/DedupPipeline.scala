@@ -399,7 +399,15 @@ object DedupPipeline extends Serializable {
       col("nid").as("id2"), col("image_id").as("img_2"),
       col("sha").as("sha_2"), col("pixsha").as("pixsha_2"),
       col("phash").as("phash_2"), col("caption").as("cap_2"))
-    val joined = toFull.join(s1, "id1").join(s2, "id2")
+    // SHUFFLE_HASH, not broadcast: the signature side is O(corpus) — at
+    // cluster scale it can never broadcast (Catalyst's stats would agree),
+    // and locally the driver-side hash-relation build (collect 400k rows
+    // + single-threaded build, twice) was pure serial time that made the
+    // whole verify stage scale NEGATIVELY with cores. The hint pins the
+    // cluster-correct plan at every scale.
+    val joined = toFull
+      .join(s1.hint("shuffle_hash"), "id1")
+      .join(s2.hint("shuffle_hash"), "id2")
       .filter(col("img_1") =!= col("img_2"))
 
     val mid = joined
