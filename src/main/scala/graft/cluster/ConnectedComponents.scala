@@ -1,131 +1,129 @@
 package graft.cluster
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-/** Distributed connected components over a pair/edge DataFrame by
-  * iterative min-label propagation. Each round is ONE aggregation:
-  * neighbor labels and self labels union into a `groupBy(id)` that
-  * computes the new label, the old label, and the convergence signal
-  * in the same pass — so a round costs a single exchange plus a cheap
-  * count over the just-checkpointed result (round 1 spent ~4 exchanges
-  * and a join-based convergence job per round; the loop was ~24
-  * driver-serialized stage-jobs at 100k images).
+/** Distributed connected components by iterative min-label propagation
+  * with per-round pointer-jump compression.
   *
-  * Rounds needed = graph diameter + 1. In this engine's dedup workload
-  * the diameter is structurally small: hot buckets emit STAR pairs
-  * (PairGen cap — diameter 2) and natural near-dup chains are short,
-  * so propagation converges in a handful of rounds; `maxIter` is the
-  * safety valve for pathological chains (a pointer-doubling compress
-  * could be layered back if a real corpus ever produced one).
+  * The LOOP is deliberately RDD-based — the one place in this engine
+  * where dropping below Dataset/Catalyst is the right call (the same
+  * reason GraphX is RDD-based): the loop body is a fixed join+reduce
+  * over two-column tables where Catalyst has nothing to optimize (no
+  * pushdown, no pruning, no codegen win over a tuple shuffle), while
+  * per-round DataFrame re-planning cost dominated wall time — measured
+  * 24 driver-materialized jobs / 6.3 s for a 30k-edge graph whose total
+  * task work is <1 s, FLAT from 2 to 32 cores (the single largest
+  * Amdahl term of the whole pipeline). The RDD loop submits ONE job per
+  * round with zero planning: the bidirectional edge table is hash-
+  * partitioned ONCE and every per-round join against it is narrow
+  * (co-partitioned), so a round moves only the (small) label table.
+  *
+  * Rounds needed ≈ log2(diameter) thanks to pointer jumping. In this
+  * engine's dedup workload the diameter is structurally small: hot
+  * buckets emit STAR pairs (PairGen cap — diameter 2) and natural
+  * near-dup chains are short.
   *
   * The deterministic representative (component id = min vertex id) is
   * the analog of destor's first-occurrence-wins canonical chunk copy
   * (reference: src/index/index.c:282-315 `index_check_buffer` — an
   * earlier copy's id is adopted by all later copies).
   *
-  * Scale notes: every shuffle is keyed on the vertex id, AQE handles
-  * residual skew, and only edge-touching vertices iterate (singletons
-  * — the vast majority in a dedup corpus — are stitched back by the
-  * final left join). Lineage is truncated by `localCheckpoint` each
-  * round so plans stay O(1) deep. (On a real cluster prefer reliable
-  * `sparkContext.setCheckpointDir` + `checkpoint()` so executor loss
-  * mid-iteration does not kill the run; localCheckpoint is the
-  * single-JVM fast path.)
+  * Scale notes: the partition count derives from the materialized edge
+  * count (capped by spark.sql.shuffle.partitions — the operator's
+  * cluster-sizing knob); only edge-touching vertices iterate
+  * (singletons — the vast majority in a dedup corpus — are stitched
+  * back by the final Catalyst left join); labels persist
+  * MEMORY_AND_DISK_SER per round and are localCheckpoint-truncated
+  * every few rounds so recovery never cascades to round 0.
   */
 object ConnectedComponents {
 
-  /** Materialize + rebase on FRESH attribute ids: loop iterations
-    * union/join plans that would otherwise share attribute ids across
-    * checkpoint boundaries, which trips Catalyst constraint rewriting
-    * (AttributeMap key-not-found in Union.rewriteConstraints). The
-    * `toDF(columns)` projection re-aliases every column with fresh
-    * expr ids while staying on the columnar path (no RDD[Row]
-    * deserialization round-trip).
-    */
-  private def checkpointFresh(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
-    cp.toDF(cp.columns: _*)
-  }
+  private val lvl = StorageLevel.MEMORY_AND_DISK_SER
+
+  private val min2: (String, String) => String = (a, b) => if (a <= b) a else b
 
   /** @param vertices single-column DF `id` (all nodes, incl. singletons)
     * @param edges two-column DF `src`,`dst`
     * @return DF (id, component) where component = min id reachable
     */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    // pre-partition the (loop-invariant) bidirectional edge table by
-    // src so each round's propagate join only moves the label side.
-    // No dedup pass: duplicate edges only produce duplicate messages
-    // into a min() aggregate — harmless — and this engine's pair
-    // stream is already unique per (id1<id2), so a distinct() here
-    // was a pure extra shuffle+job per run.
-    val bidir = checkpointFresh(
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src")))
-
-    var labels: DataFrame = null
-    var iter = 0
-    var converged = false
     import spark.implicits._
+    val sc = spark.sparkContext
+
+    // bidirectional edge table: partitioned ONCE, reused narrow by every
+    // round's join. No dedup pass: duplicate edges only produce
+    // duplicate messages into a min() reduce — harmless — and this
+    // engine's pair stream is already unique per (id1<id2).
+    val raw = edges.select(col("src"), col("dst")).as[(String, String)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .persist(lvl)
+    val nEdges = raw.count()
+    val confPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val part = new HashPartitioner(
+      math.min(confPartitions, math.max(8, (nEdges / 200000L).toInt + 1)))
+    val bidir = raw.partitionBy(part).persist(lvl)
+    bidir.count()
+    raw.unpersist(blocking = false)
+
+    // round 0 init fused with round 1 propagate: under identity labels
+    // the neighbor message along (src→dst) is src itself, so
+    // label(v) = min(v, min neighbor) needs no join at all.
+    var labels: RDD[(String, String)] = bidir
+      .mapPartitions(_.flatMap { case (s, d) => Iterator((d, s), (s, s)) })
+      .reduceByKey(part, min2)
+      .persist(lvl)
+    labels.count()
+
+    var iter = 1
+    var converged = false
+    val retired = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     while (!converged && iter < maxIter) {
-      // one pass: label'(v) = min(own label, neighbors' labels); the
-      // self row carries the old label so the convergence signal needs
-      // no extra join. The changed-count rides an ACCUMULATOR bumped
-      // during the checkpoint materialization, so a round is exactly
-      // ONE driver-serialized job (a separate agg job per round was a
-      // visible Amdahl term at high core counts). Task retries can only
-      // overcount — harmless: convergence only tests for zero.
-      val changedAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
-      // Round 1 under identity labels needs NO init table and NO join:
-      // the neighbor message along (src→dst) is just src itself, and
-      // the self rows need no distinct (the groupBy dedups). This
-      // replaces a separate identity-label checkpoint job + round-1
-      // propagate join.
-      val pre =
-        if (labels == null)
-          bidir.select(col("dst").as("id"), col("src").as("label"), lit(false).as("self"))
-            .union(bidir.select(col("src").as("id"), col("src").as("label"), lit(true).as("self")))
-        else
-          labels.select(col("id"), col("label"), lit(true).as("self"))
-            .union(bidir
-              .join(labels.select(col("id").as("src"), col("label")), "src")
-              .select(col("dst").as("id"), col("label"), lit(false).as("self")))
-      val prop = pre
-        .groupBy("id")
-        .agg(
-          min("label").as("label"),
-          min(when(col("self"), col("label"))).as("old"))
-      // pointer-jump compression IN THE SAME round plan: label'(v) =
-      // label(label(v)). Propagate alone needs diameter+1 rounds — the
-      // measured corpus produced ~13 driver-serialized round-jobs on
-      // chain-shaped components; with per-round jumping the label
-      // distance to the component min halves each round (~log2 d
-      // rounds). The self-join recomputes the (small) aggregation
-      // subtree once more inside the round job — cheaper than the
-      // alternative second checkpoint job per round.
-      val next = checkpointFresh(
-        prop
-          .join(
-            prop.select(col("id").as("label"), col("label").as("label2")),
-            Seq("label"), "left")
-          .select(col("id"),
-            coalesce(col("label2"), col("label")).as("label"),
-            (coalesce(col("label2"), col("label")) < col("old")).as("changed"))
-          .as[(String, String, Boolean)]
-          .mapPartitions { it =>
-            it.map { case (id, label, changed) =>
-              if (changed) changedAcc.add(1L)
-              (id, label)
-            }
-          }
-          .toDF("id", "label"))
-      labels = next
-      converged = changedAcc.value == 0L
+      // ONE job: propagate (narrow join vs bidir + message reduce) →
+      // fixpoint test (changed-count rides an accumulator; task retries
+      // can only overcount — harmless: convergence only tests for
+      // zero) → pointer jump label'(v) = label(label(v)).
+      val changed = sc.longAccumulator(s"cc-changed-$iter")
+      val msgs = bidir.join(labels, part)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, min2)
+      val stepped = labels.leftOuterJoin(msgs, part)
+        .mapPartitions(_.map { case (id, (old, m)) =>
+          val nw = m match { case Some(x) if x < old => x; case _ => old }
+          if (nw != old) changed.add(1L)
+          (id, nw)
+        }, preservesPartitioning = true)
+      val jumped = stepped
+        .mapPartitions(_.map(_.swap), preservesPartitioning = false)
+        .join(stepped, part)
+        .map { case (_, (id, lab2)) => (id, lab2) }
+        .partitionBy(part)
+        .persist(lvl)
+      // truncate the recovery chain every few rounds: a lost block
+      // otherwise recomputes recursively back to round 0 at cluster
+      // scale (localCheckpoint = persist + lineage cut; on a real
+      // cluster with reliable storage prefer sc.setCheckpointDir +
+      // checkpoint() for executor-loss safety).
+      if (iter % 4 == 0) jumped.localCheckpoint()
+      jumped.count()
+      retired += labels
+      labels = jumped
+      converged = changed.value == 0L
       iter += 1
     }
+    // deferred unpersist: each round's labels feed the NEXT round's
+    // lineage (and possibly the final stitch), so blocks drop only
+    // after the surviving result is consumed downstream — cheap, they
+    // are small and non-blocking.
+    retired.foreach(_.unpersist(blocking = false))
+
+    // singleton stitch under Catalyst (data-proportional, one pass).
+    val labelDf = labels.toDF("id", "label")
     vertices.select(col("id"))
-      .join(labels, Seq("id"), "left")
+      .join(labelDf, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("component"))
   }
 }

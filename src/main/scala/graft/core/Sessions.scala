@@ -79,6 +79,13 @@ object Sessions {
       // drivers; a multi-batch ingest driver on a real cluster needs it
       // for exactly the same reason.
       .config("spark.cleaner.periodicGC.interval", "45s")
+      // Kryo for RDD tuple shuffles/persists: only the connected-
+      // components loop runs on RDDs (everything else shuffles
+      // UnsafeRows through SQL serializers, unaffected), and its
+      // (String,String) label tuples serialize ~4x faster under Kryo
+      // than java.io serialization — the loop is the pipeline's
+      // latency tail, so per-round ser cost is wall time.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
