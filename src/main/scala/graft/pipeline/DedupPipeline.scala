@@ -151,59 +151,63 @@ object DedupPipeline extends Serializable {
   def candidates(bk: Dataset[BucketRow], cfg: DedupConfig): DataFrame =
     finishCandidates(pairStream(bk, cfg, cfg.bucketCap))
 
+  // --- packed posting shuffle key: xxhash64(band,bucket) with the
+  //     2-bit signature-CLASS index in the low bits. The hot-path
+  //     shuffle row is then exactly (key, nid, payload) — three longs,
+  //     32 bytes in UnsafeRow — instead of carrying band+bucket
+  //     alongside (48 bytes): postings are the pipeline's one O(data)
+  //     shuffle, so every byte here is the binding resource at scale.
+  //     Key collisions merge two same-class buckets: candidates only
+  //     gain members and verify is exact, so recall/correctness are
+  //     unaffected (cross-class merges are impossible — the class bits
+  //     differ). The Tungsten sort on the single long key is a pure
+  //     radix sort (zero comparator calls).
+  private val ClassSrcbit = Array(SrcMinhash, SrcPhash, SrcSubstr, SrcExact)
+
+  private def packedKeyCol: org.apache.spark.sql.Column = {
+    val cls =
+      when(col("band") < BandPhash, 0L)
+        .when(col("band") < BandSubstr, 1L)
+        .when(col("band") < BandExactSha, 2L)
+        .otherwise(3L)
+    xxhash64(col("band"), col("bucket")).bitwiseAND(lit(-4L)).bitwiseOR(cls)
+  }
+
   /** Raw candidate pair stream (id1, id2, srcbit) from postings, with
     * all-pairs ≤ `cap` / star-pairing above it. */
   private[pipeline] def pairStream(bk: Dataset[BucketRow], cfg: DedupConfig, cap: Int): DataFrame = {
     // Pair expansion WITHOUT building per-bucket lists: repartition on
-    // (band,bucket), sort within partitions, stream over runs of equal
-    // keys emitting pairs directly. A collect_list-based formulation
-    // spent ~170s at 100k rows just materializing 10M grouped lists
-    // (object-aggregation fallback); this is one Tungsten sort shuffle
-    // + a linear scan. Buffer is bounded by the largest bucket (hot
-    // buckets emit only star pairs, so the buffer is read-only after
-    // the cap).
+    // the packed key, sort within partitions, stream over runs of
+    // equal keys emitting pairs directly. A collect_list-based
+    // formulation spent ~170s at 100k rows just materializing 10M
+    // grouped lists (object-aggregation fallback); this is one Tungsten
+    // sort shuffle + a linear scan. Buffer is bounded by the largest
+    // bucket (hot buckets emit only star pairs, so the buffer is
+    // read-only after the cap).
     val spark = bk.sparkSession
     import spark.implicits._
-    val hamMax = cfg.hammingMax
-    // ONE packed 64-bit shuffle/sort key: the Tungsten sort is then a
-    // pure radix sort (zero comparator calls — the interpreted
-    // (band,bucket,image_id) TimSort was the dominant CPU sink of this
-    // stage); member ids sort locally per run. Key collisions merge
-    // two buckets: candidates only gain members, verify is exact, so
-    // correctness/recall are unaffected. `band` rides along for the
-    // srcbit and as a group tie-break under collisions.
-    bk.select(
-        xxhash64(col("band"), col("bucket")).as("key"),
-        col("band"), col("nid"), col("payload"))
+    bk.select(packedKeyCol.as("key"), col("nid"), col("payload"))
       .repartition(col("key"))
-      .sortWithinPartitions("key", "band")
-      .as[(Long, Int, Long, Long)]
-      .mapPartitions(it =>
-        expandSorted(it.map { case (key, band, id, payload) => (band, key, id, payload) },
-          cap, cfg.hammingMax))
+      .sortWithinPartitions("key")
+      .as[(Long, Long, Long)]
+      .mapPartitions(it => expandSorted(it, cap, cfg.hammingMax))
       .toDF("id1", "id2", "srcbit")
   }
 
-  private def srcbitOf(band: Int): Int =
-    if (band < BandPhash) SrcMinhash
-    else if (band < BandSubstr) SrcPhash
-    else if (band < BandExactSha) SrcSubstr
-    else SrcExact
-
-  /** CAP-capped pair expansion over one partition of (band, key, id,
-    * payload) rows sorted by (key, band): all-pairs ≤ cap, star above.
-    * Hamming-LSH bands reject far pairs AT EMISSION, before they hit
-    * the pair-dedup shuffle (bucket key saturation makes random
-    * collisions ~n^2/keyspace at scale). */
+  /** CAP-capped pair expansion over one partition of (key, nid,
+    * payload) rows sorted by key (class index in the key's low bits):
+    * all-pairs ≤ cap, star above. Hamming-LSH buckets reject far pairs
+    * AT EMISSION, before they hit the pair-dedup shuffle (bucket key
+    * saturation makes random collisions ~n^2/keyspace at scale). */
   private def expandSorted(
-      it: Iterator[(Int, Long, Long, Long)],
+      it: Iterator[(Long, Long, Long)],
       cap: Int, hamMax: Int): Iterator[(Long, Long, Int)] =
     graft.ops.PairGen.groupRuns[Long, (Long, Long, Int)](
-      it,
-      (band, _, m, p) => {
+      it.map { case (key, id, payload) => ((key & 3L).toInt, key, id, payload) },
+      (cls, _, m, p) => {
         graft.ops.PairGen.sortWithPayload(m, p)
-        val sb = srcbitOf(band)
-        val hamBand = sb == SrcPhash
+        val sb = ClassSrcbit(cls)
+        val hamBand = cls == 1
         if (m.length <= cap)
           for (i <- m.indices.iterator; j <- (i + 1) until m.length
                if !hamBand || Sig.hamming(p(i), p(j)) <= hamMax)
@@ -277,37 +281,50 @@ object DedupPipeline extends Serializable {
     // exchange instead of shuffling the postings twice (round-2 interim
     // version paid a second full groupBy shuffle + a percentile sketch
     // for the cap; both replaced by a local run-length scan + an exact
-    // histogram quantile).
+    // histogram quantile). The row is the packed 32-byte (key, nid,
+    // payload) — band/bucket for the (tiny) hot list are recovered by a
+    // broadcast join-back below instead of riding the big shuffle.
     val sorted = coldRaw
-      .select(xxhash64(col("band"), col("bucket")).as("key"),
-        col("band"), col("bucket"), col("nid"), col("payload"))
+      .select(packedKeyCol.as("key"), col("nid"), col("payload"))
       .repartition(col("key"))
-      .sortWithinPartitions("key", "band")
-      .as[(Long, Int, Long, Long, Long)]
+      .sortWithinPartitions("key")
+      .as[(Long, Long, Long)]
       .persist(lvl)
 
-    // bucket sizes: a LOCAL aggregation of the cached sort — `key` is in
-    // the grouping keys and the cache is hash-partitioned on `key`, so
+    // bucket sizes: a LOCAL aggregation of the cached sort — `key` is
+    // the grouping key and the cache is hash-partitioned on it, so
     // Catalyst plans this with NO exchange; the columnar cache decodes
-    // only the three grouping columns (an earlier typed-mapPartitions
-    // run-length scan deserialized all five columns into tuples)
-    val coldSizes = sorted.groupBy("key", "band", "bucket")
-      .agg(count(lit(1)).as("n"))
-      .select(col("band"), col("bucket"), col("n"))
+    // only the key column
+    val coldSizes = sorted.groupBy("key").agg(count(lit(1)).as("n"))
 
-    // CBR: exact histogram quantile (materializes the cache)
-    val cap = SkewControl.adaptiveCap(coldSizes, cfg.skewQuantile, cfg.bucketCap)
+    // CBR: exact histogram quantile (materializes the cache). The
+    // histogram also answers "is anything hot at all" for free, gating
+    // the hot-list recovery pass below.
+    val hist = coldSizes.groupBy("n").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cap = math.max(cfg.bucketCap,
+      SkewControl.histogramQuantile(hist, cfg.skewQuantile))
+    val anyColdHot = hist.exists { case (n, _) => n > cap }
 
-    // pair expansion: second LOCAL scan of the same cache (projection
-    // first so the columnar cache never decodes `bucket`; a projection
-    // preserves the partitioning and the within-partition sort order)
+    // pair expansion: second LOCAL scan of the same cache
     val coldPairs = sorted
-      .select(col("key"), col("band"), col("nid"), col("payload"))
-      .as[(Long, Int, Long, Long)]
-      .mapPartitions(it =>
-        expandSorted(it.map { case (key, band, id, payload) => (band, key, id, payload) },
-          cap, cfg.hammingMax))
+      .mapPartitions(it => expandSorted(it, cap, cfg.hammingMax))
       .toDF("id1", "id2", "srcbit")
+
+    // hot-list recovery: the packed key is one-way, so real (band,
+    // bucket) for this run's hot buckets (HAR publish) come from a
+    // broadcast semi-join of the hot keys against a narrow re-scan of
+    // the posting source — one row per hot POSTING enters the join,
+    // output is one row per hot bucket; runs only when the histogram
+    // saw any over-cap bucket (rare by construction: cap is the
+    // skewQuantile tail).
+    val coldHot =
+      if (anyColdHot)
+        coldRaw
+          .select(col("band"), col("bucket"), packedKeyCol.as("key"))
+          .join(broadcast(coldSizes.filter(col("n") > cap)), "key")
+          .groupBy("band", "bucket").agg(max("n").as("n"))
+      else coldRaw.select(col("band"), col("bucket"), lit(0L).as("n")).limit(0)
 
     val (raw, hotSizes, cleanupHot) = hotRaw match {
       case Some(hp) =>
@@ -343,10 +360,10 @@ object DedupPipeline extends Serializable {
           minPer.select(col("band"), col("bucket"), col("n")),
           () => { minPer.unpersist(blocking = false); () })
       case None =>
-        (coldPairs, coldSizes.limit(0), () => ())
+        (coldPairs, coldHot.limit(0), () => ())
     }
 
-    val hotNow = SkewControl.hotBuckets(coldSizes.unionByName(hotSizes), cap)
+    val hotNow = coldHot.unionByName(SkewControl.hotBuckets(hotSizes, cap))
     SkewAwareCandidates(finishCandidates(raw), hotNow, cap,
       () => { sorted.unpersist(blocking = false); cleanupHot(); () })
   }
