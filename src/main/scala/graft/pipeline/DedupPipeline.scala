@@ -291,16 +291,33 @@ object DedupPipeline extends Serializable {
       .as[(Long, Long, Long)]
       .persist(lvl)
 
-    // bucket sizes: a LOCAL aggregation of the cached sort — `key` is
-    // the grouping key and the cache is hash-partitioned on it, so
-    // Catalyst plans this with NO exchange; the columnar cache decodes
-    // only the key column
-    val coldSizes = sorted.groupBy("key").agg(count(lit(1)).as("n"))
-
-    // CBR: exact histogram quantile (materializes the cache). The
-    // histogram also answers "is anything hot at all" for free, gating
-    // the hot-list recovery pass below.
-    val hist = coldSizes.groupBy("n").count().collect()
+    // bucket-size HISTOGRAM via a run-length scan of the cached sort
+    // (materializes the cache): the cache is partitioned AND sorted by
+    // `key`, so bucket sizes are run lengths — no per-key state needed.
+    // The obvious `groupBy(key).count` formulation built a ~20M-entry
+    // BytesToBytesMap per task whose page allocations serialized every
+    // worker on the HeapMemoryAllocator pool lock at 32 threads
+    // (jstack: all executor threads RUNNABLE in allocate(); the stage's
+    // task-time sum inflated 9 s → 374 s from 8 to 32 cores). The scan
+    // emits ~hundreds of (size, count) rows per partition — the driver
+    // quantile walk is unchanged.
+    val histRows = sorted.select(col("key")).as[Long]
+      .mapPartitions { it =>
+        val h = scala.collection.mutable.LongMap.empty[Long]
+        var cur = 0L; var n = 0L; var open = false
+        while (it.hasNext) {
+          val k = it.next()
+          if (open && k == cur) n += 1
+          else {
+            if (open) h(n) = h.getOrElse(n, 0L) + 1L
+            cur = k; n = 1L; open = true
+          }
+        }
+        if (open) h(n) = h.getOrElse(n, 0L) + 1L
+        h.iterator
+      }
+      .toDF("n", "cnt")
+    val hist = histRows.groupBy("n").agg(sum("cnt").as("count")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val cap = math.max(cfg.bucketCap,
       SkewControl.histogramQuantile(hist, cfg.skewQuantile))
@@ -313,18 +330,33 @@ object DedupPipeline extends Serializable {
 
     // hot-list recovery: the packed key is one-way, so real (band,
     // bucket) for this run's hot buckets (HAR publish) come from a
-    // broadcast semi-join of the hot keys against a narrow re-scan of
-    // the posting source — one row per hot POSTING enters the join,
-    // output is one row per hot bucket; runs only when the histogram
-    // saw any over-cap bucket (rare by construction: cap is the
-    // skewQuantile tail).
+    // broadcast semi-join of the hot keys (a second run-length scan,
+    // emitting only over-cap runs — tiny) against a narrow re-scan of
+    // the posting source; runs only when the histogram saw any over-cap
+    // bucket (rare by construction: cap is the skewQuantile tail).
     val coldHot =
-      if (anyColdHot)
+      if (anyColdHot) {
+        val hotKeys = sorted.select(col("key")).as[Long]
+          .mapPartitions { it =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var cur = 0L; var n = 0L; var open = false
+            while (it.hasNext) {
+              val k = it.next()
+              if (open && k == cur) n += 1
+              else {
+                if (open && n > cap) out += ((cur, n))
+                cur = k; n = 1L; open = true
+              }
+            }
+            if (open && n > cap) out += ((cur, n))
+            out.iterator
+          }
+          .toDF("key", "n")
         coldRaw
           .select(col("band"), col("bucket"), packedKeyCol.as("key"))
-          .join(broadcast(coldSizes.filter(col("n") > cap)), "key")
+          .join(broadcast(hotKeys), "key")
           .groupBy("band", "bucket").agg(max("n").as("n"))
-      else coldRaw.select(col("band"), col("bucket"), lit(0L).as("n")).limit(0)
+      } else coldRaw.select(col("band"), col("bucket"), lit(0L).as("n")).limit(0)
 
     val (raw, hotSizes, cleanupHot) = hotRaw match {
       case Some(hp) =>
