@@ -186,37 +186,94 @@ object DedupPipeline extends Serializable {
     // read-only after the cap).
     val spark = bk.sparkSession
     import spark.implicits._
-    bk.select(packedKeyCol.as("key"), col("nid"), col("payload"))
-      .repartition(col("key"))
-      .sortWithinPartitions("key")
-      .as[(Long, Long, Long)]
-      .mapPartitions(it => expandSorted(it, cap, cfg.hammingMax))
+    spark.createDataFrame(
+      bk.select(packedKeyCol.as("key"), col("nid"), col("payload"))
+        .repartition(col("key"))
+        .sortWithinPartitions("key")
+        .queryExecution.toRdd
+        .mapPartitions(it => expandRows(it, cap, cfg.hammingMax)))
       .toDF("id1", "id2", "srcbit")
   }
 
   /** CAP-capped pair expansion over one partition of (key, nid,
-    * payload) rows sorted by key (class index in the key's low bits):
-    * all-pairs ≤ cap, star above. Hamming-LSH buckets reject far pairs
-    * AT EMISSION, before they hit the pair-dedup shuffle (bucket key
-    * saturation makes random collisions ~n^2/keyspace at scale). */
-  private def expandSorted(
-      it: Iterator[(Long, Long, Long)],
-      cap: Int, hamMax: Int): Iterator[(Long, Long, Int)] =
-    graft.ops.PairGen.groupRuns[Long, (Long, Long, Int)](
-      it.map { case (key, id, payload) => ((key & 3L).toInt, key, id, payload) },
-      (cls, _, m, p) => {
-        graft.ops.PairGen.sortWithPayload(m, p)
-        val sb = ClassSrcbit(cls)
-        val hamBand = cls == 1
-        if (m.length <= cap)
-          for (i <- m.indices.iterator; j <- (i + 1) until m.length
-               if !hamBand || Sig.hamming(p(i), p(j)) <= hamMax)
-            yield (m(i), m(j), sb)
-        else
-          (1 until m.length).iterator
-            .filter(j => !hamBand || Sig.hamming(p(0), p(j)) <= hamMax)
-            .map(j => (m(0), m(j), sb))
-      })
+    * payload) InternalRows sorted by key (class index in the key's low
+    * bits): all-pairs ≤ cap, star above. Hamming-LSH buckets reject far
+    * pairs AT EMISSION, before they hit the pair-dedup shuffle (bucket
+    * key saturation makes random collisions ~n^2/keyspace at scale).
+    *
+    * Iterates raw InternalRows (queryExecution.toRdd) with primitive
+    * long buffers: the previous `Dataset[(Long,Long,Long)]` form
+    * allocated a Tuple3 + three boxed Longs PER POSTING — ~10^8
+    * short-lived objects per scan at 400k images, and the resulting GC
+    * pauses stall all workers at once (measured 105-156 GC-seconds per
+    * scan stage at 32 threads). The only per-pair allocation left is
+    * the bounded output tuple. Over-cap (star) buckets use a single
+    * min scan instead of a full sort — a hot bucket's member order is
+    * irrelevant when only (min → other) pairs are emitted. */
+  private def expandRows(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      cap: Int, hamMax: Int): Iterator[(Long, Long, Int)] = {
+    var idsA = new Array[Long](64)
+    var plsA = new Array[Long](64)
+    var n = 0
+    var cur = 0L
+    var open = false
+    def grow(): Unit = {
+      idsA = java.util.Arrays.copyOf(idsA, idsA.length * 2)
+      plsA = java.util.Arrays.copyOf(plsA, plsA.length * 2)
+    }
+    def flush(): Iterator[(Long, Long, Int)] = {
+      if (!open || n < 2) return Iterator.empty
+      val cls = (cur & 3L).toInt
+      val sb = ClassSrcbit(cls)
+      val ham = cls == 1
+      val len = n
+      val m = java.util.Arrays.copyOf(idsA, len)
+      val p = java.util.Arrays.copyOf(plsA, len)
+      if (len <= cap) {
+        // primitive dual-array insertion sort (len is cap-bounded);
+        // canonical id1 < id2 within the bucket
+        var i = 1
+        while (i < len) {
+          val k = m(i); val pl = p(i); var j = i - 1
+          while (j >= 0 && m(j) > k) { m(j + 1) = m(j); p(j + 1) = p(j); j -= 1 }
+          m(j + 1) = k; p(j + 1) = pl; i += 1
+        }
+        for (i <- (0 until len).iterator; j <- (i + 1) until len
+             if !ham || Sig.hamming(p(i), p(j)) <= hamMax)
+          yield (m(i), m(j), sb)
+      } else {
+        var minI = 0; var i = 1
+        while (i < len) { if (m(i) < m(minI)) minI = i; i += 1 }
+        val mi = minI
+        (0 until len).iterator
+          .filter(j => j != mi && (!ham || Sig.hamming(p(mi), p(j)) <= hamMax))
+          .map(j => (m(mi), m(j), sb))
+      }
+    }
+    val body = rows.flatMap { r =>
+      val k = r.getLong(0)
+      if (!open || k != cur) {
+        val out = flush()
+        open = true; cur = k; n = 0
+        idsA(0) = r.getLong(1); plsA(0) = r.getLong(2); n = 1
+        out
+      } else {
+        if (n == idsA.length) grow()
+        idsA(n) = r.getLong(1); plsA(n) = r.getLong(2); n += 1
+        Iterator.empty
+      }
+    }
+    body ++ new Iterator[(Long, Long, Int)] {
+      private var tail: Iterator[(Long, Long, Int)] = null
+      private def t: Iterator[(Long, Long, Int)] = {
+        if (tail == null) tail = flush()
+        tail
+      }
+      def hasNext: Boolean = t.hasNext
+      def next(): (Long, Long, Int) = t.next()
+    }
+  }
 
   /** Cross-band pair dedup + provenance: bit-OR the source bits of every
     * band a pair was seen in, label with the strongest evidence class. */
@@ -288,7 +345,6 @@ object DedupPipeline extends Serializable {
       .select(packedKeyCol.as("key"), col("nid"), col("payload"))
       .repartition(col("key"))
       .sortWithinPartitions("key")
-      .as[(Long, Long, Long)]
       .persist(lvl)
 
     // bucket-size HISTOGRAM via a run-length scan of the cached sort
@@ -299,23 +355,26 @@ object DedupPipeline extends Serializable {
     // worker on the HeapMemoryAllocator pool lock at 32 threads
     // (jstack: all executor threads RUNNABLE in allocate(); the stage's
     // task-time sum inflated 9 s → 374 s from 8 to 32 cores). The scan
-    // emits ~hundreds of (size, count) rows per partition — the driver
+    // iterates raw InternalRows (zero per-posting allocation — see
+    // expandRows for why that matters at 32 threads) and emits
+    // ~hundreds of (size, count) rows per partition — the driver
     // quantile walk is unchanged.
-    val histRows = sorted.select(col("key")).as[Long]
-      .mapPartitions { it =>
-        val h = scala.collection.mutable.LongMap.empty[Long]
-        var cur = 0L; var n = 0L; var open = false
-        while (it.hasNext) {
-          val k = it.next()
-          if (open && k == cur) n += 1
-          else {
-            if (open) h(n) = h.getOrElse(n, 0L) + 1L
-            cur = k; n = 1L; open = true
+    val histRows = spark.createDataFrame(
+      sorted.select(col("key")).queryExecution.toRdd
+        .mapPartitions { it =>
+          val h = scala.collection.mutable.LongMap.empty[Long]
+          var cur = 0L; var n = 0L; var open = false
+          while (it.hasNext) {
+            val k = it.next().getLong(0)
+            if (open && k == cur) n += 1
+            else {
+              if (open) h(n) = h.getOrElse(n, 0L) + 1L
+              cur = k; n = 1L; open = true
+            }
           }
-        }
-        if (open) h(n) = h.getOrElse(n, 0L) + 1L
-        h.iterator
-      }
+          if (open) h(n) = h.getOrElse(n, 0L) + 1L
+          h.iterator
+        })
       .toDF("n", "cnt")
     val hist = histRows.groupBy("n").agg(sum("cnt").as("count")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -324,8 +383,9 @@ object DedupPipeline extends Serializable {
     val anyColdHot = hist.exists { case (n, _) => n > cap }
 
     // pair expansion: second LOCAL scan of the same cache
-    val coldPairs = sorted
-      .mapPartitions(it => expandSorted(it, cap, cfg.hammingMax))
+    val coldPairs = spark.createDataFrame(
+      sorted.queryExecution.toRdd
+        .mapPartitions(it => expandRows(it, cap, cfg.hammingMax)))
       .toDF("id1", "id2", "srcbit")
 
     // hot-list recovery: the packed key is one-way, so real (band,
@@ -336,21 +396,22 @@ object DedupPipeline extends Serializable {
     // bucket (rare by construction: cap is the skewQuantile tail).
     val coldHot =
       if (anyColdHot) {
-        val hotKeys = sorted.select(col("key")).as[Long]
-          .mapPartitions { it =>
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            var cur = 0L; var n = 0L; var open = false
-            while (it.hasNext) {
-              val k = it.next()
-              if (open && k == cur) n += 1
-              else {
-                if (open && n > cap) out += ((cur, n))
-                cur = k; n = 1L; open = true
+        val hotKeys = spark.createDataFrame(
+          sorted.select(col("key")).queryExecution.toRdd
+            .mapPartitions { it =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+              var cur = 0L; var n = 0L; var open = false
+              while (it.hasNext) {
+                val k = it.next().getLong(0)
+                if (open && k == cur) n += 1
+                else {
+                  if (open && n > cap) out += ((cur, n))
+                  cur = k; n = 1L; open = true
+                }
               }
-            }
-            if (open && n > cap) out += ((cur, n))
-            out.iterator
-          }
+              if (open && n > cap) out += ((cur, n))
+              out.iterator
+            })
           .toDF("key", "n")
         coldRaw
           .select(col("band"), col("bucket"), packedKeyCol.as("key"))
