@@ -79,6 +79,19 @@ object Sessions {
       // drivers; a multi-batch ingest driver on a real cluster needs it
       // for exactly the same reason.
       .config("spark.cleaner.periodicGC.interval", "45s")
+      // OFF-HEAP execution memory: Tungsten page allocations (shuffle
+      // sorter pages, aggregation maps) on-heap go through
+      // HeapMemoryAllocator — a SYNCHRONIZED weak-ref page pool plus a
+      // zeroing `new long[]` per page — which serializes all executor
+      // threads at high core counts (jstack during the posting shuffle:
+      // every worker RUNNABLE in allocate(); shuffle-write task time
+      // inflated ~4.7x from 8 to 32 threads). Off-heap pages come from
+      // Platform.allocateMemory (malloc — per-thread arenas, no lock,
+      // no zeroing) and stay out of the GC's live set. Standard
+      // production config for shuffle-heavy workloads; executors on a
+      // real cluster want the same flag.
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "16g")
       // Kryo for RDD tuple shuffles/persists: only the connected-
       // components loop runs on RDDs (everything else shuffles
       // UnsafeRows through SQL serializers, unaffected), and its
