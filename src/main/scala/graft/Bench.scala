@@ -158,7 +158,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nGroups = SparkEntry.groupsFor(sfDir) * 5 // standard bench corpus: 100k images at sf0.1
-    val gateGroups = nGroups * 4 // gate-pair corpus: serial floor amortized
+    val gateGroups = nGroups * 8 // scaling-pair corpus (800k images at sf0.1): serial floor amortized
     val warmupGroups = math.max(2L, nGroups / 50)
 
     // one JVM-wide warmup: JIT + codegen

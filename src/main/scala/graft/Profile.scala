@@ -60,7 +60,7 @@ object Profile {
       sk0.copy(pairs = p)
     }
     val ver = time("verify", cores) {
-      val (v, cleanup) = DedupPipeline.verifyWithCleanup(sk.pairs, sigs, images, cfg)
+      val (v, cleanup, _) = DedupPipeline.verifyWithCleanup(sk.pairs, sigs, images, cfg)
       val vp = v.persist(lvl)
       vp.count()
       cleanup()

@@ -48,9 +48,15 @@ object ConnectedComponents {
 
   /** @param vertices single-column DF `id` (all nodes, incl. singletons)
     * @param edges two-column DF `src`,`dst`
+    * @param edgeCountHint approximate |edges| when the caller already
+    *   knows it (any upper bound of the right magnitude works — it only
+    *   sizes the loop partitioner). With a hint the edge plan is
+    *   computed ONCE (straight into the partitioned table); without it
+    *   an extra persist+count pass sizes the partitioner first.
     * @return DF (id, component) where component = min id reachable
     */
-  def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 64, edgeCountHint: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
 
@@ -60,14 +66,23 @@ object ConnectedComponents {
     // engine's pair stream is already unique per (id1<id2).
     val raw = edges.select(col("src"), col("dst")).as[(String, String)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .persist(lvl)
-    val nEdges = raw.count()
     val confPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val part = new HashPartitioner(
-      math.min(confPartitions, math.max(8, (nEdges / 200000L).toInt + 1)))
-    val bidir = raw.partitionBy(part).persist(lvl)
-    bidir.count()
-    raw.unpersist(blocking = false)
+    def partitionerFor(nBidir: Long) = new HashPartitioner(
+      math.min(confPartitions, math.max(8, (nBidir / 200000L).toInt + 1)))
+    val (bidir, part) = edgeCountHint match {
+      case Some(n) =>
+        val p = partitionerFor(2L * n)
+        val b = raw.partitionBy(p).persist(lvl)
+        b.count()
+        (b, p)
+      case None =>
+        val r = raw.persist(lvl)
+        val p = partitionerFor(r.count())
+        val b = r.partitionBy(p).persist(lvl)
+        b.count()
+        r.unpersist(blocking = false)
+        (b, p)
+    }
 
     // round 0 init fused with round 1 propagate: under identity labels
     // the neighbor message along (src→dst) is src itself, so

@@ -477,12 +477,15 @@ object DedupPipeline extends Serializable {
   /** verify() plus a cleanup thunk that unpersists the internal Mid
     * cache — call it AFTER the returned dataset has been materialized
     * (otherwise repeated pipeline invocations in one session accumulate
-    * cached blocks for the session's lifetime). */
+    * cached blocks for the session's lifetime) — plus the resolved
+    * candidate-pair count, which rides the Mid materialization for free
+    * and serves downstream as an edge-count upper bound (CC partitioner
+    * sizing without an extra counting pass). */
   private[graft] def verifyWithCleanup(
       cand: DataFrame,
       sigs: Dataset[SignatureRow],
       images: Dataset[ImageRow],
-      cfg: DedupConfig): (Dataset[VerifiedPair], () => Unit) = {
+      cfg: DedupConfig): (Dataset[VerifiedPair], () => Unit, Long) = {
     val spark = cand.sparkSession
     import spark.implicits._
 
@@ -574,11 +577,14 @@ object DedupPipeline extends Serializable {
       // — persist AND materialize eagerly, otherwise the union's
       // subplans race and each computes the caption joins
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // eager materialization (see above) with the needPixel count riding
-    // the same job — it drives the broadcast decision below for free
-    val needCount = mid.toDF().agg(
+    // eager materialization (see above) with the total and needPixel
+    // counts riding the same job — they drive the broadcast decision
+    // below and the CC partitioner hint for free
+    val countsRow = mid.toDF().agg(
       count(lit(1)), sum(when(col("needPixel"), 1L).otherwise(0L)))
-      .first().getAs[Any](1) match { case null => 0L; case n: Long => n }
+      .first()
+    val midCount = countsRow.getLong(0)
+    val needCount = countsRow.getAs[Any](1) match { case null => 0L; case n: Long => n }
 
     val settled = mid.filter(m => m.verdict.nonEmpty && !m.needPixel).map(m =>
       VerifiedPair(m.id1, m.id2, m.src, m.jaccard, m.hamming,
@@ -624,18 +630,20 @@ object DedupPipeline extends Serializable {
       .filter(_.verdict.nonEmpty)
 
     (settled.union(pixVerified),
-      () => { mid.unpersist(blocking = false); pix.unpersist(blocking = false); () })
+      () => { mid.unpersist(blocking = false); pix.unpersist(blocking = false); () },
+      midCount)
   }
 
   /** Stage 5 — connected components + deterministic representative. */
   def clusters(
       images: Dataset[ImageRow],
-      verified: Dataset[VerifiedPair]): Dataset[ClusterRow] = {
+      verified: Dataset[VerifiedPair],
+      edgeCountHint: Option[Long] = None): Dataset[ClusterRow] = {
     val spark = images.sparkSession
     import spark.implicits._
     val vertices = images.select(col("image_id").as("id"))
     val edges = verified.select(col("id1").as("src"), col("id2").as("dst"))
-    ConnectedComponents.run(spark, vertices, edges)
+    ConnectedComponents.run(spark, vertices, edges, edgeCountHint = edgeCountHint)
       .select(col("id").as("image_id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("representative"))
       .as[ClusterRow]
@@ -660,8 +668,8 @@ object DedupPipeline extends Serializable {
     // sig-derived) postings; HAR inheritance applies to the cross-run
     // ingest flow (IncrementalDedup), not a one-shot run.
     val sk = candidatesSkewAware(bk, cfg, None)
-    val (ver, cleanupMid) = verifyWithCleanup(sk.pairs, sigs, images, cfg)
-    val out = clusters(images, ver).localCheckpoint() // eager
+    val (ver, cleanupMid, pairCount) = verifyWithCleanup(sk.pairs, sigs, images, cfg)
+    val out = clusters(images, ver, Some(pairCount)).localCheckpoint() // eager
     sigs.unpersist(blocking = false)
     cleanupMid()
     sk.cleanup()

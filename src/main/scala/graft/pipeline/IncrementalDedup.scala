@@ -148,7 +148,7 @@ final class IncrementalDedup(
       if (io.hasBatches(ImagesStore))
         batch.toDF().unionByName(io.readBatches(ImagesStore)).as[ImageRow]
       else batch
-    val (ver, cleanupMid) = DedupPipeline.verifyWithCleanup(cand, allSigs, allImages, cfg)
+    val (ver, cleanupMid, _) = DedupPipeline.verifyWithCleanup(cand, allSigs, allImages, cfg)
 
     // 5. commit this batch's verified edges, then read them BACK from
     //    the store (single materialization; CC consumes the checkpoint)

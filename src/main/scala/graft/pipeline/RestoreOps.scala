@@ -44,12 +44,14 @@ object RestoreOps {
   def contentClusters(
       images: Dataset[ImageRow],
       verified: Dataset[VerifiedPair],
-      cfg: DedupConfig = DedupConfig.default): DataFrame = {
+      cfg: DedupConfig = DedupConfig.default,
+      edgeCountHint: Option[Long] = None): DataFrame = {
     val spark = images.sparkSession
     val pixelEdges = verified
       .filter(col("verdict").isin("exact", "pixel") || col("psnr") >= cfg.psnrMin)
       .select(col("id1").as("src"), col("id2").as("dst"))
-    ConnectedComponents.run(spark, images.select(col("image_id").as("id")), pixelEdges)
+    ConnectedComponents.run(spark, images.select(col("image_id").as("id")), pixelEdges,
+      edgeCountHint = edgeCountHint)
       .select(col("id").as("image_id"), col("component").as("content_id"))
   }
 
@@ -131,8 +133,8 @@ object RestoreOps {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val sigs = DedupPipeline.signatures(images, cfg).persist(lvl)
     val cand = DedupPipeline.candidates(DedupPipeline.buckets(sigs, cfg), cfg)
-    val (ver, cleanupMid) = DedupPipeline.verifyWithCleanup(cand, sigs, images, cfg)
-    val cc = contentClusters(images, ver, cfg).persist(lvl)
+    val (ver, cleanupMid, pairCount) = DedupPipeline.verifyWithCleanup(cand, sigs, images, cfg)
+    val cc = contentClusters(images, ver, cfg, Some(pairCount)).persist(lvl)
     cc.count()
     cleanupMid()
     sigs.unpersist(blocking = false)

@@ -163,7 +163,7 @@ object CheckpointedPipeline {
       // only run inside the stage thunk (skipped entirely on resume)
       var cleanupMid: () => Unit = () => ()
       val published = runner.stage("verified_pairs") {
-        val (ver, cm) = DedupPipeline.verifyWithCleanup(cand, sigsDs, imagesDs, cfg)
+        val (ver, cm, _) = DedupPipeline.verifyWithCleanup(cand, sigsDs, imagesDs, cfg)
         cleanupMid = cm
         ver.toDF()
       }

@@ -117,7 +117,7 @@ class SkewSpec extends AnyFunSuite {
       .count().withColumnRenamed("count", "n").limit(20)
     val sk = DedupPipeline.candidatesSkewAware(bk, cfg,
       Some(someBuckets.cache()))
-    val (ver, cleanup) = DedupPipeline.verifyWithCleanup(sk.pairs, sigs, corpus, cfg)
+    val (ver, cleanup, _) = DedupPipeline.verifyWithCleanup(sk.pairs, sigs, corpus, cfg)
     val got = DedupPipeline.clusters(corpus, ver)
       .collect().map(r => (r.image_id, r.cluster_id)).sorted.toSeq
     assert(got == direct)
