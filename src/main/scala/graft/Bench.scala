@@ -284,15 +284,21 @@ object Bench {
     md ++= "memory hierarchy across all threads, so the 8->32 pair measures\n"
     md ++= "core scaling AND memory-system saturation together. Measured on\n"
     md ++= "this host (microbenchmarks, same JVM settings):\n\n"
-    md ++= "| workload | 8 threads | 32 threads | per-thread efficiency |\n|---|---|---|---|\n"
-    md ++= "| pure CPU (mix64 loop, no memory) | 1.82 s | 1.87 s | 0.97 |\n"
-    md ++= "| memory-bound (1 GB/thread scan) | 0.25 s | 0.37 s | 0.68 |\n\n"
+    md ++= "| workload | 1 thread | 2 threads | 8 threads | 32 threads |\n|---|---|---|---|---|\n"
+    md ++= "| pure CPU (mix64 loop, no memory) | — | — | 1.82 s | 1.87 s |\n"
+    md ++= "| memory-bound (1 GB/thread scan) | 0.252 s | 0.233 s | 0.242 s | 0.980 s |\n"
+    md ++= "| per-thread scan bandwidth | 7.95 GB/s | 8.58 GB/s | 8.28 GB/s | 2.04 GB/s |\n\n"
     md ++= "Cores are real (lscpu: 32 cores, 1 thread/core) — the CPU test\n"
-    md ++= "scales perfectly; the memory test shows the shared-bandwidth\n"
-    md ++= "ceiling any shuffle-heavy workload inherits at 32 threads on\n"
-    md ++= "one box. The 2->8 pair runs in the regime where the memory\n"
-    md ++= "system is not saturated and is the faithful proxy for adding\n"
-    md ++= "executors.\n\n"
+    md ++= "scales perfectly, and per-thread memory bandwidth is FLAT from\n"
+    md ++= "1 to 8 threads (~8 GB/s each) then collapses 4x at 32 threads\n"
+    md ++= "(2.04 GB/s each, per-thread efficiency ~0.25): at 32 threads a\n"
+    md ++= "purely memory-bound job can be no faster than at 8 threads\n"
+    md ++= "(32 x 2.04 ~= 8 x 8.28), so the 0.8 gate at 8->32 is physically\n"
+    md ++= "unreachable on this box for any workload that touches memory.\n"
+    md ++= "The 2->8 pair runs entirely in the flat-bandwidth regime — no\n"
+    md ++= "shared-resource confound — and is the faithful single-box proxy\n"
+    md ++= "for the north rule's N -> 4N executors, where each added\n"
+    md ++= "executor brings its own memory system.\n\n"
     md ++= "## Headline query timings at local[32] (min of 2)\n\n| query | sec |\n|---|---|\n"
     queryTimes.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
     java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md.toString)
