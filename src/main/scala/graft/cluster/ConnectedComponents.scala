@@ -69,12 +69,13 @@ object ConnectedComponents {
     val confPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def partitionerFor(nBidir: Long) = new HashPartitioner(
       math.min(confPartitions, math.max(8, (nBidir / 200000L).toInt + 1)))
+    // NO eager materialization here: round 1's job computes the edge
+    // shuffle and both persists in one go — two count() jobs of pure
+    // driver latency dropped from the loop's fixed floor.
     val (bidir, part) = edgeCountHint match {
       case Some(n) =>
         val p = partitionerFor(2L * n)
-        val b = raw.partitionBy(p).persist(lvl)
-        b.count()
-        (b, p)
+        (raw.partitionBy(p).persist(lvl), p)
       case None =>
         val r = raw.persist(lvl)
         val p = partitionerFor(r.count())
@@ -91,7 +92,6 @@ object ConnectedComponents {
       .mapPartitions(_.flatMap { case (s, d) => Iterator((d, s), (s, s)) })
       .reduceByKey(part, min2)
       .persist(lvl)
-    labels.count()
 
     var iter = 1
     var converged = false

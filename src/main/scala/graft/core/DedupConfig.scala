@@ -17,16 +17,16 @@ final case class DedupConfig(
     // --- shingling (analog of chunking, src/chunk_phase.c) ---
     shingleSize: Int = 3, // words per shingle (k-shingle)
     // --- MinHash (analog of min-sampling F1, src/index/sampling_method.c:12-75) ---
-    minhashK: Int = 96, // signature length
+    minhashK: Int = 80, // signature length
     minhashSeed1: Long = 0x9747b28cL,
     minhashSeed2: Long = 0x85ebca6bL,
     // --- LSH banding (analog of feature→segment kv index, src/index/kvstore_htable.c) ---
-    // S-curve 1-(1-j^r)^b at r=4: recall 0.9986 for j=0.7, 0.999994
-    // for j=0.8 (both comfortably above the 0.99 gate), while false
-    // positives at j=0.3 stay under 0.18. b=24 instead of round-1's 32
-    // cuts posting volume 25% and signature compute 25% — postings are
+    // S-curve 1-(1-j^r)^b at r=4: recall 0.9959 for j=0.7, 0.99997
+    // for j=0.8 (both above the 0.99 gate), while false positives at
+    // j=0.3 stay under 0.15. b=20 (round 1 used 32, then 24) cuts
+    // posting volume and signature compute another ~17% — postings are
     // the pipeline's largest shuffle, the binding resource at scale.
-    bands: Int = 24, // b bands ...
+    bands: Int = 20, // b bands ...
     rowsPerBand: Int = 4, // ... of r rows each; b*r == minhashK
     // --- SimHash / phash hamming (pixel-side signature) ---
     simhashBits: Int = 64,

@@ -112,21 +112,24 @@ object DedupPipeline extends Serializable {
     val spark = sigs.sparkSession
     import spark.implicits._
     sigs.flatMap { s =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[BucketRow]
       val bk = s.bands
-      var b = 0
-      while (b < bk.length) { out += BucketRow(b, bk(b), s.nid); b += 1 }
       val pk = Sig.hammingComboKeys(s.phash, cfg.phashBlocks, cfg.phashCombo)
+      val fps =
+        if (s.caption.length >= cfg.substrMinChars)
+          Sig.captionFingerprints(s.caption, cfg.substrGram, cfg.substrWindow)
+        else Array.emptyLongArray
+      // exact-size output (one growth-free array per image; the posting
+      // stage runs at ~60 rows/image so buffer churn is measurable)
+      val out = new Array[BucketRow](bk.length + pk.length + fps.length + 2)
+      var o = 0
+      var b = 0
+      while (b < bk.length) { out(o) = BucketRow(b, bk(b), s.nid); o += 1; b += 1 }
       b = 0
-      while (b < pk.length) { out += BucketRow(BandPhash + b, pk(b), s.nid, s.phash); b += 1 }
-      val cap = s.caption.toLowerCase
-      if (cap.length >= cfg.substrMinChars) {
-        val fps = Sig.captionFingerprints(s.caption, cfg.substrGram, cfg.substrWindow)
-        var i = 0
-        while (i < fps.length) { out += BucketRow(BandSubstr, fps(i), s.nid); i += 1 }
-      }
-      out += BucketRow(BandExactSha, Sig.hash64(s.sha), s.nid)
-      out += BucketRow(BandExactPix, Sig.hash64(s.pixsha), s.nid)
+      while (b < pk.length) { out(o) = BucketRow(BandPhash + b, pk(b), s.nid, s.phash); o += 1; b += 1 }
+      var i = 0
+      while (i < fps.length) { out(o) = BucketRow(BandSubstr, fps(i), s.nid); o += 1; i += 1 }
+      out(o) = BucketRow(BandExactSha, Sig.hash64(s.sha), s.nid)
+      out(o + 1) = BucketRow(BandExactPix, Sig.hash64(s.pixsha), s.nid)
       out
     }
   }
@@ -661,18 +664,23 @@ object DedupPipeline extends Serializable {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val sigs = signatures(images, cfg).persist(lvl)
     val bk = buckets(sigs, cfg)
-    // single consumer (verify) — no persist needed; the grouping
-    // shuffle feeds straight into the verify joins in one query.
-    // CBR adaptive cap is LIVE here (skewQuantile): the bucket-size
-    // aggregation is one cheap extra pass over the (narrow, persisted-
-    // sig-derived) postings; HAR inheritance applies to the cross-run
-    // ingest flow (IncrementalDedup), not a one-shot run.
-    val sk = candidatesSkewAware(bk, cfg, None)
-    val (ver, cleanupMid, pairCount) = verifyWithCleanup(sk.pairs, sigs, images, cfg)
+    // LEAN candidate path for the one-shot run: static CAP cap
+    // (destor's rewrite_capping_level is equally a static per-run knob,
+    // destor.config:140), pairs streaming straight out of the single
+    // posting sort-shuffle into the verify joins in ONE query — no
+    // persisted copy of the exchange, no bucket-size histogram job.
+    // Star-pairing above the cap preserves bucket connectivity, so
+    // cluster output is cap-invariant wherever verification passes.
+    // The ADAPTIVE controllers (CBR quantile cap, HAR hot-bucket
+    // inheritance) live on the cross-run ingest flow — see
+    // candidatesSkewAware / IncrementalDedup — where destor's own
+    // feedback loops operate (cbr_rewrite.c keeps a cross-job utility
+    // history; har_rewrite.c loads the previous job's sparse list).
+    val cand = candidates(bk, cfg)
+    val (ver, cleanupMid, pairCount) = verifyWithCleanup(cand, sigs, images, cfg)
     val out = clusters(images, ver, Some(pairCount)).localCheckpoint() // eager
     sigs.unpersist(blocking = false)
     cleanupMid()
-    sk.cleanup()
     out
   }
 }

@@ -221,6 +221,26 @@ object Sig {
     * single-slice banding whose 64/bands-bit keys saturate).
     * Defaults (9,3) guarantee hamming <= 6 with 21-bit keys.
     */
+  // flattened combination-index table per (blocks, combo), built once —
+  // the per-call recursive enumeration allocated an ArrayBuffer + combo
+  // frames per image (28-84 combos x 800k images of churn)
+  private val comboTables =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Int]]()
+
+  private def comboTable(blocks: Int, combo: Int): Array[Int] =
+    comboTables.computeIfAbsent((blocks.toLong << 32) | combo, _ => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val idx = new Array[Int](combo)
+      def rec(start: Int, d: Int): Unit =
+        if (d == combo) out ++= idx
+        else {
+          var s = start
+          while (s <= blocks - (combo - d)) { idx(d) = s; rec(s + 1, d + 1); s += 1 }
+        }
+      rec(0, 0)
+      out.toArray
+    })
+
   def hammingComboKeys(bits0: Long, blocks: Int = 9, combo: Int = 3): Array[Long] = {
     // fixed bit permutation j -> (23*j) mod 64 BEFORE slicing: perceptual
     // hashes have spatially-correlated neighboring bits, so slices of
@@ -235,26 +255,26 @@ object Sig {
     }
     val width = 64 / blocks
     val mask = (1L << width) - 1
-    val slices = Array.tabulate(blocks)(i => (bits >>> (i * width)) & mask)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val idx = new Array[Int](combo)
-    def rec(start: Int, d: Int): Unit = {
-      if (d == combo) {
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < combo) {
-          h = (h ^ idx(i)) * 0x100000001b3L
-          h = (h ^ slices(idx(i))) * 0x100000001b3L
-          i += 1
-        }
-        out += mix64(h)
-      } else {
-        var s = start
-        while (s <= blocks - (combo - d)) { idx(d) = s; rec(s + 1, d + 1); s += 1 }
+    val slices = new Array[Long](blocks)
+    var b = 0
+    while (b < blocks) { slices(b) = (bits >>> (b * width)) & mask; b += 1 }
+    val tab = comboTable(blocks, combo)
+    val n = tab.length / combo
+    val out = new Array[Long](n)
+    var c = 0
+    while (c < n) {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < combo) {
+        val ix = tab(c * combo + i)
+        h = (h ^ ix) * 0x100000001b3L
+        h = (h ^ slices(ix)) * 0x100000001b3L
+        i += 1
       }
+      out(c) = mix64(h)
+      c += 1
     }
-    rec(0, 0)
-    out.toArray
+    out
   }
 
   // ---------------- SimHash ----------------
@@ -281,34 +301,76 @@ object Sig {
 
   // ---------------- winnowing (substring pass) ----------------
 
-  /** Rolling char k-gram hashes of a normalized string. */
+  /** Char k-gram hashes of a string: FNV-1a over the k (lowercased)
+    * chars of each gram, one char pass, ZERO allocation per gram. The
+    * previous substring+getBytes form allocated ~2 objects per gram —
+    * ~200M allocations per 800k-image posting stage, the stage's top
+    * GC source at high thread counts. Char-wise lowering instead of
+    * String.toLowerCase: equivalent for ASCII, deterministic for all
+    * inputs, and every consumer (engine, oracles, specs) goes through
+    * this one function, so internal consistency is what matters. */
   def charGramHashes(text: String, k: Int): Array[Long] = {
-    val s = text.toLowerCase
-    if (s.length < k) return Array.empty
-    Array.tabulate(s.length - k + 1)(i => hash64(s.substring(i, i + k)))
+    val n = text.length
+    if (n < k) return Array.empty
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val e = i + k
+      while (j < e) {
+        h = (h ^ Character.toLowerCase(text.charAt(j)).toLong) * 0x100000001b3L
+        j += 1
+      }
+      out(i) = mix64(h)
+      i += 1
+    }
+    out
   }
 
   /** Winnowing: minimum hash of every sliding window of `w` consecutive
     * k-gram hashes; rightmost minimum on ties (standard winnowing).
-    * Returns the DISTINCT selected fingerprints.
-    */
+    * Returns the DISTINCT selected fingerprints, sorted.
+    *
+    * Sliding-window minimum via a monotonic index deque — O(n) total,
+    * primitive arrays only (the TreeSet form boxed every candidate:
+    * O(n*w) compares + ~one allocation per window). The selected VALUE
+    * per window is identical to the scan form (a window's minimum value
+    * is position-independent), so fingerprint sets are unchanged. */
   def winnow(grams: Array[Long], w: Int): Array[Long] = {
     if (grams.isEmpty) return Array.empty
-    if (grams.length <= w) return Array(grams.min)
-    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (grams.length <= w) {
+      var m = grams(0)
+      var i = 1
+      while (i < grams.length) { if (grams(i) < m) m = grams(i); i += 1 }
+      return Array(m)
+    }
+    val sel = new Array[Long](grams.length - w + 1)
+    var ns = 0
+    val dq = new Array[Int](grams.length) // indices, values increasing head->tail
+    var head = 0
+    var tail = 0
     var i = 0
-    while (i + w <= grams.length) {
-      var m = grams(i)
-      var j = i + 1
-      while (j < i + w) { if (grams(j) <= m) m = grams(j); j += 1 }
-      sel.add(m)
+    while (i < grams.length) {
+      while (tail > head && grams(dq(tail - 1)) >= grams(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = grams(dq(head))
+        if (ns == 0 || sel(ns - 1) != m) { sel(ns) = m; ns += 1 }
+      }
       i += 1
     }
-    val out = new Array[Long](sel.size)
-    val it = sel.iterator()
+    val out = java.util.Arrays.copyOf(sel, ns)
+    java.util.Arrays.sort(out)
+    var m2 = 0
     var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    out
+    while (j < out.length) {
+      if (m2 == 0 || out(m2 - 1) != out(j)) { out(m2) = out(j); m2 += 1 }
+      j += 1
+    }
+    java.util.Arrays.copyOf(out, m2)
   }
 
   /** Winnowed fingerprints of a caption: selected min-hashes of char
