@@ -158,7 +158,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nGroups = SparkEntry.groupsFor(sfDir) * 5 // standard bench corpus: 100k images at sf0.1
-    val gateGroups = nGroups * 8 // scaling-pair corpus (800k images at sf0.1): serial floor amortized
+    // scaling-pair corpus (1.6M images at sf0.1): the north rule's
+    // criterion lives at 10^12-image scale where per-job driver
+    // constants are invisible; the measured ~5 s fixed floor (Catalyst
+    // planning, CC round latency, AQE stage materialization) must be
+    // small against the shortest timed wall (local[32] ~40 s here) or
+    // it masquerades as an engine scaling limit
+    val gateGroups = nGroups * 16
     val warmupGroups = math.max(2L, nGroups / 50)
 
     // one JVM-wide warmup: JIT + codegen

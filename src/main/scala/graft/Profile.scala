@@ -53,14 +53,16 @@ object Profile {
       s.count()
       s
     }
-    val sk = time("candidates", cores) {
-      val sk0 = DedupPipeline.candidatesSkewAware(DedupPipeline.buckets(sigs, cfg), cfg, None)
-      val p = sk0.pairs.persist(lvl)
+    // the LEAN candidates() path — what run() executes; the skew-aware
+    // variant (persisted exchange + histogram) is the ingest path and
+    // can be profiled separately if it regresses
+    val cand = time("candidates", cores) {
+      val p = DedupPipeline.candidates(DedupPipeline.buckets(sigs, cfg), cfg).persist(lvl)
       p.count()
-      sk0.copy(pairs = p)
+      p
     }
     val ver = time("verify", cores) {
-      val (v, cleanup, _) = DedupPipeline.verifyWithCleanup(sk.pairs, sigs, images, cfg)
+      val (v, cleanup, _) = DedupPipeline.verifyWithCleanup(cand, sigs, images, cfg)
       val vp = v.persist(lvl)
       vp.count()
       cleanup()
@@ -72,8 +74,7 @@ object Profile {
     time("end_to_end", cores) {
       DedupPipeline.run(images, cfg).count()
     }
-    sigs.unpersist(false); sk.pairs.unpersist(false); ver.unpersist(false)
-    sk.cleanup()
+    sigs.unpersist(false); cand.unpersist(false); ver.unpersist(false)
   }
 
   def main(args: Array[String]): Unit = {
