@@ -11,6 +11,27 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Tungsten off-heap execution pages (16 MiB) come from malloc
+// (Platform.allocateMemory); glibc's default mmap threshold (128 KiB,
+// dynamic cap 32 MiB) sends every page alloc/free through
+// mmap/munmap, and the kernel mm-lock churn serializes all 32 task
+// threads (doc/shuffle-scaling-notes.md). Raising the threshold keeps
+// big blocks on per-thread arena free lists: measured on the
+// posting-shuffle stage (graft.ShuffleDiag 100k-group matrix),
+// per-rep kernel sys-CPU fell 440→7 s and steady-state wall 7.3→5.3 s.
+val mallocTuning = Map(
+  "MALLOC_MMAP_THRESHOLD_" -> "268435456",
+  "MALLOC_TRIM_THRESHOLD_" -> "268435456",
+  "MALLOC_TOP_PAD_" -> "67108864",
+  "MALLOC_ARENA_MAX" -> "64",
+)
+run / envVars ++= mallocTuning
+Test / envVars ++= mallocTuning
+// The driver parses ONE bare JSON line from `sbt runMain graft.Bench`
+// stdout; sbt's default logger prefixes forked-process output with
+// [info], which defeats that parse (BENCH_r01.json: "parsed": null).
+// Inherit stdout instead so the JSON line arrives undecorated.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
