@@ -59,6 +59,9 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "q_substr_dups" -> ((s, d) => TextOps.substrDedup(s, d, cfg)),
     "q_cfl_rewrite" -> ((s, d) => TextOps.cflRewrite(s, d)),
+    "q_har_sparse" -> ((s, d) => TextOps.harSparse(s, d)),
+    "q_greedy_topk" -> ((s, d) => graft.ops.GreedySelect.greedyTopKDocs(s, d)),
+    "q_trace_replay" -> ((s, d) => graft.sources.TraceSource.traceReplay(s, d)),
     "q_minhash_dedup" -> ((s, d) => TextOps.minhashDedup(s, d, cfg)),
     "q_source_minhash" -> ((s, d) => TextOps.sourceMinhash(s, d, cfg)),
     "q_simhash_dedup" -> ((s, d) => TextOps.simhashDedup(s, d)),
@@ -82,6 +85,39 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // HAR sparse-container list (A2/O4): same packing CTEs as
+    // q_cfl_rewrite, then the ascending running-sum trim. sum(BIGINT)
+    // is HUGEINT in DuckDB — cast back for schema parity.
+    "q_har_sparse" ->
+      """WITH canon AS (
+        |  SELECT md5(text) AS k, min(doc_id) AS canonical_id FROM documents GROUP BY 1),
+        |cr AS (
+        |  SELECT c.canonical_id, d.source, d.n_chars
+        |  FROM canon c JOIN documents d ON d.doc_id = c.canonical_id),
+        |packed AS (
+        |  SELECT source || '#' || CAST(CAST(floor(
+        |      (sum(n_chars) OVER (PARTITION BY source ORDER BY canonical_id) - n_chars)
+        |      / 4096) AS BIGINT) AS VARCHAR) AS container_id,
+        |    n_chars
+        |  FROM cr),
+        |cont AS (
+        |  SELECT container_id, CAST(sum(n_chars) AS BIGINT) AS size
+        |  FROM packed GROUP BY 1),
+        |tot AS (SELECT CAST(sum(size) AS DOUBLE) AS t FROM cont),
+        |run AS (
+        |  SELECT container_id, size,
+        |    sum(size) OVER (ORDER BY size, container_id) AS cum
+        |  FROM cont WHERE size / 4096.0 < 0.8)
+        |SELECT container_id, size FROM run, tot
+        |WHERE CAST(cum AS DOUBLE) <= 0.01 * t""".stripMargin,
+    // Trace round-trip (S2): the replayed per-stream stats must equal
+    // the same stats computed directly from the source table (distinct
+    // sha1 fp == distinct text).
+    "q_trace_replay" ->
+      """SELECT source, count(*) AS n_chunks,
+        |  count(DISTINCT text) AS n_unique,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_agg_stats" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -68,6 +68,35 @@ object ContainerOps {
       .withColumn("cfl",
         least(lit(1.0), col("ideal_containers") / col("containers_read")))
 
+  /** HAR sparse-container selection with running-ratio trim (A2 + O4,
+    * reference `close_har` src/har_rewrite.c:87-168): containers whose
+    * stored bytes fall below `utilThreshold` of capacity are sparse;
+    * destor sorts them ascending by size and trims LARGEST-first until
+    * the surviving sparse volume is within `rewriteLimit` of the total
+    * container volume. Trimming the tail of an ascending sequence is
+    * exactly keeping the maximal ascending prefix whose running sum
+    * stays within the budget, so the recast is one running-sum window +
+    * filter (the O4 running-ratio trim). Ties broken by container_id so
+    * both engines (Spark and the DuckDB oracle) order identically.
+    *
+    * Scale note: the window is a global ordering, but its input is
+    * already per-container METADATA (one row per sparse container —
+    * destor's bv.sparse control file, ~25M rows per 100 TB at 4 MiB
+    * containers and only the sparse subset enters the sort), not a
+    * data-scale relation; the data-scale work (utilization aggregation)
+    * happened in the upstream groupBy. */
+  def harSparseTrim(containers: DataFrame, capacityBytes: Long,
+      utilThreshold: Double, rewriteLimit: Double): DataFrame = {
+    val total = containers.agg(sum("size").cast("double").as("total_size"))
+    val sparse = containers
+      .filter(col("size").cast("double") / capacityBytes < utilThreshold)
+    val w = Window.orderBy(col("size"), col("container_id"))
+    sparse.withColumn("cum", sum("size").over(w))
+      .crossJoin(broadcast(total))
+      .filter(col("cum").cast("double") <= lit(rewriteLimit) * col("total_size"))
+      .select("container_id", "size")
+  }
+
   /** CFL selective rewrite (R2 + R7): flag each restored row whose
     * container is out-of-order (utilization < cflUsageThreshold) AND
     * that is a dup (row id != content id — first occurrences are the

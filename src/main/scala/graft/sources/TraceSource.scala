@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Destor text-trace replay source + writer (S2, reference
+  * `make_trace` src/trace_phase.c:96-141 and `read_trace_thread`
+  * src/trace_phase.c:146-210). The trace grammar, per stream file:
+  *
+  * {{{
+  * file start <namelen>
+  * <filename>
+  * <40-hex-fingerprint> <size>      (one line per chunk)
+  * ...
+  * file end
+  * ...                               (more files)
+  * stream end
+  * }}}
+  *
+  * Spark recast: a trace stream is stateful line-by-line (file headers
+  * scope the chunk lines that follow), so each stream is parsed
+  * LINEARLY by one task — `wholetext` read, one row per stream file —
+  * while streams parallelize across files, exactly destor's
+  * one-reader-thread-per-job model scaled out. Trace streams are
+  * chunk METADATA (~50 bytes/chunk — a 100 TB corpus at 4 KiB chunks
+  * is ~1.2 TB of trace spread over many per-job files), so
+  * one-task-per-stream is the right granularity; the parsed output is
+  * a distributed table from the first shuffle on.
+  */
+object TraceSource {
+
+  /** Parse every trace file matching `path` (glob ok) into one row per
+    * chunk: (trace_name, file_name, seq, fp, size). `trace_name` is the
+    * stream file's basename without ".trace"; `seq` is the chunk's
+    * position in its stream (replay order, destor's queue order). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, content) =>
+        val base = f.substring(f.lastIndexOf('/') + 1)
+          .stripSuffix(".trace")
+        parseStream(base, content)
+      }
+      .toDF("trace_name", "file_name", "seq", "fp", "size")
+  }
+
+  /** One stream's stateful parse (read_trace_thread's loop, minus the
+    * SyncQueue): emits (trace, file, seq, fp, size) per chunk line. */
+  private[graft] def parseStream(trace: String, content: String)
+      : Iterator[(String, String, Long, String, Long)] = {
+    var cur: String = null
+    var seq = 0L
+    content.linesIterator.flatMap { line =>
+      if (line.startsWith("file start ")) Iterator.empty
+      else if (line == "file end" || line == "stream end" || line.isEmpty) {
+        if (line == "file end") cur = null
+        Iterator.empty
+      } else if (cur == null) { cur = line; Iterator.empty } // the filename line
+      else {
+        val sp = line.indexOf(' ')
+        seq += 1
+        Iterator.single((trace, cur, seq, line.substring(0, sp),
+          line.substring(sp + 1).trim.toLong))
+      }
+    }
+  }
+
+  /** Write one trace stream per `source`: every doc becomes a trace
+    * "file" with a single whole-item chunk (file-level chunking P7),
+    * fp = sha1(text), in doc_id order — `make_trace`'s output re-done
+    * as a distributed writer (each source is contiguous in exactly one
+    * partition after the repartition, so each stream file has exactly
+    * one writer task; on a cluster `outDir` would be a shared FS). */
+  def makeTrace(docs: DataFrame, outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
+    docs.select(col("source"), col("doc_id"),
+        sha1(col("text").cast("binary")).as("fp"), col("n_chars"))
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .foreachPartition { (it: Iterator[Row]) =>
+        var cur: String = null
+        var w: java.io.PrintWriter = null
+        def close(): Unit = if (w != null) { w.print("stream end"); w.close(); w = null }
+        it.foreach { r =>
+          val src = r.getString(0)
+          if (src != cur) {
+            close(); cur = src
+            w = new java.io.PrintWriter(new java.io.BufferedWriter(
+              new java.io.FileWriter(new java.io.File(outDir, s"$src.trace"))))
+          }
+          val name = "doc_" + r.getLong(1)
+          w.println(s"file start ${name.length}")
+          w.println(name)
+          w.println(s"${r.getString(2)} ${r.getLong(3)}")
+          w.println("file end")
+        }
+        close()
+      }
+  }
+
+  /** Driver query: round-trip the documents table through the trace
+    * format (write streams → replay → per-stream dedup stats). The
+    * stats are hash-oracle-able in DuckDB directly from `documents`
+    * (distinct fp == distinct text — SHA-1 is collision-free here), so
+    * this checks the writer AND parser end-to-end. */
+  def traceReplay(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-trace-" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(tmp)
+    makeTrace(spark.read.parquet(s"$dir/documents.parquet"), tmp.getPath)
+    read(spark, tmp.getPath + "/*.trace")
+      .groupBy(col("trace_name").as("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct("fp").as("n_unique"),
+        sum("size").as("total_bytes"))
+  }
+}

@@ -75,6 +75,28 @@ object TextOps extends Serializable {
         col("rewrite").cast("int").as("rewrite"))
   }
 
+  /** HAR sparse-container list for the documents store (A2 + O4,
+    * reference close_har src/har_rewrite.c:87-168): canonicals packed
+    * into per-source byte-bounded containers exactly as in
+    * [[cflRewrite]]; containers under `utilThreshold` full are sparse,
+    * ascending-size running sum trimmed at `rewriteLimit` of total
+    * stored volume. Fully SQL-expressible → DuckDB-oracled
+    * (`q_har_sparse`). */
+  def harSparse(spark: SparkSession, dir: String,
+      containerBytes: Long = 4096L, utilThreshold: Double = 0.8,
+      rewriteLimit: Double = 0.01): DataFrame = {
+    import graft.ops.ContainerOps
+    val d = docs(spark, dir)
+    val canon = d.groupBy(md5(col("text")).as("k")).agg(min("doc_id").as("canonical_id"))
+    val canonRows = canon.join(
+      d.select(col("doc_id").as("canonical_id"), col("source"), col("n_chars")),
+      "canonical_id")
+    val containers = ContainerOps.pack(
+        canonRows, col("source"), col("canonical_id"), col("n_chars"), containerBytes)
+      .groupBy("container_id").agg(sum("n_chars").as("size"))
+    ContainerOps.harSparseTrim(containers, containerBytes, utilThreshold, rewriteLimit)
+  }
+
   /** Segment-level MinHash via the merge UDAF (U2): one signature per
     * source from the per-doc signatures already computed — equal by the
     * union property to re-shingling the whole source (DocOpsSpec

@@ -35,6 +35,26 @@ class ContainerCflSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("har sparse trim: threshold filter + ascending running-ratio trim match a local greedy") {
+    import spark.implicits._
+    // capacity 1000; utilization threshold 0.5 -> sparse iff size < 500;
+    // limit 0.10 of total volume. Local reference implements destor's
+    // actual loop (sort asc, remove LARGEST while over budget) — the
+    // Spark side is the prefix formulation; the test proves equivalence.
+    val sizes = Seq(950L, 120L, 480L, 60L, 700L, 450L, 30L, 499L, 500L, 10L)
+    val containers = sizes.zipWithIndex
+      .map { case (sz, i) => (f"c$i%02d", sz) }.toDF("container_id", "size")
+    val got = ContainerOps.harSparseTrim(containers, 1000L, 0.5, 0.10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val total = sizes.sum
+    var sparse = sizes.zipWithIndex.map { case (sz, i) => (f"c$i%02d", sz) }
+      .filter(_._2 < 500L).sortBy(t => (t._2, t._1))
+    while (sparse.map(_._2).sum.toDouble > 0.10 * total)
+      sparse = sparse.init // destor: trim the largest remaining
+    assert(got === sparse.toSet)
+    assert(got.nonEmpty && got.size < sizes.count(_ < 500L)) // trim actually ran
+  }
+
   test("selective rewrite: cold containers flagged, reps exempt, R7 switch disables") {
     import spark.implicits._
     // 10 contents of 100B, each alone in a 1000B container (util 0.1 if
