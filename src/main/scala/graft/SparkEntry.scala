@@ -300,6 +300,21 @@ object SparkEntry {
         | FROM e a, e b WHERE a.vec_id <> b.vec_id)
         |SELECT vec_id, neighbor_id, CAST(rk AS INTEGER) AS rk, cos FROM (
         | SELECT *, row_number() OVER (PARTITION BY vec_id
-        |   ORDER BY cos DESC, neighbor_id) AS rk FROM p) WHERE rk <= 5""".stripMargin
+        |   ORDER BY cos DESC, neighbor_id) AS rk FROM p) WHERE rk <= 5""".stripMargin,
+    // Same list_cosine_similarity parity trick as q_embed_topk; the
+    // per-label centroid is a plain per-dimension mean, and the
+    // round-6 + min-label tie-break makes the argmax engine-stable.
+    "q_nearest_centroid" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |ex AS (SELECT label, unnest(v) AS x,
+        |  unnest(range(1, len(v)+1)) AS pos FROM e),
+        |cm AS (SELECT label AS c_label, pos, avg(x) AS m FROM ex GROUP BY 1, 2),
+        |c AS (SELECT c_label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+        |s AS (SELECT e.vec_id, e.label, c.c_label,
+        |  round(list_cosine_similarity(e.v, c.centroid), 6) AS cos FROM e, c)
+        |SELECT vec_id, label, c_label AS nearest_label FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY cos DESC, c_label) AS rk FROM s) WHERE rk = 1""".stripMargin
   )
 }
