@@ -62,6 +62,9 @@ object SparkEntry {
     "q_har_sparse" -> ((s, d) => TextOps.harSparse(s, d)),
     "q_greedy_topk" -> ((s, d) => graft.ops.GreedySelect.greedyTopKDocs(s, d)),
     "q_trace_replay" -> ((s, d) => graft.sources.TraceSource.traceReplay(s, d)),
+    // --- byte-level CDC chunker family (P2-P6) over the documents table ---
+    "q_chunk_fastcdc" -> ((s, d) => graft.ops.ChunkOps.chunkDocs(s, d, "fastcdc")),
+    "q_chunk_cover" -> ((s, d) => graft.ops.ChunkOps.chunkCover(s, d)),
     "q_minhash_dedup" -> ((s, d) => TextOps.minhashDedup(s, d, cfg)),
     "q_source_minhash" -> ((s, d) => TextOps.sourceMinhash(s, d, cfg)),
     "q_simhash_dedup" -> ((s, d) => TextOps.simhashDedup(s, d)),
@@ -315,6 +318,17 @@ object SparkEntry {
         |  round(list_cosine_similarity(e.v, c.centroid), 6) AS cos FROM e, c)
         |SELECT vec_id, label, c_label AS nearest_label FROM (
         | SELECT *, row_number() OVER (PARTITION BY vec_id
-        |   ORDER BY cos DESC, c_label) AS rk FROM s) WHERE rk = 1""".stripMargin
+        |   ORDER BY cos DESC, c_label) AS rk FROM s) WHERE rk = 1""".stripMargin,
+    // CDC chunker tiling contract (P2-P6): every algorithm must tile
+    // each document exactly (sum of chunk lengths = UTF-8 byte length,
+    // contiguous cover, min/max clamps) — DuckDB states the expected
+    // invariant row per (doc, algo), so a single dropped/overlapping
+    // chunk anywhere in any chunker hash-mismatches.
+    "q_chunk_cover" ->
+      """SELECT d.doc_id, a.algo,
+        |  CAST(octet_length(encode(d.text)) AS BIGINT) AS total_len,
+        |  TRUE AS cover_ok, TRUE AS clamps_ok
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(['ae','fastcdc','rabin','rabin_norm','tttd']) AS algo) a""".stripMargin
   )
 }
