@@ -234,6 +234,7 @@ object Bench {
       "embed_ann" -> minOf2(graft.sim.EmbedOps.annTopK(spark32, sfDir).count()),
       "substr_dups" -> minOf2(graft.text.TextOps.substrDedup(spark32, sfDir, cfg).count()),
       "cfl_rewrite" -> minOf2(graft.text.TextOps.cflRewrite(spark32, sfDir).count()),
+      "chunk_fastcdc" -> minOf2(graft.ops.ChunkOps.chunkDocs(spark32, sfDir, "fastcdc").count()),
       "roundtrip_verify" -> {
         // table-backed corpus (the real calling shape): a bare
         // CorpusGen dataset would re-generate pixels on each of the

@@ -65,6 +65,8 @@ object SparkEntry {
     // --- byte-level CDC chunker family (P2-P6) over the documents table ---
     "q_chunk_fastcdc" -> ((s, d) => graft.ops.ChunkOps.chunkDocs(s, d, "fastcdc")),
     "q_chunk_cover" -> ((s, d) => graft.ops.ChunkOps.chunkCover(s, d)),
+    "q_chunk_backup" -> ((s, d) => graft.ops.ChunkOps.chunkBackup(s, d)),
+    "q_chunk_restore" -> ((s, d) => graft.ops.ChunkOps.chunkRestore(s, d)),
     "q_minhash_dedup" -> ((s, d) => TextOps.minhashDedup(s, d, cfg)),
     "q_source_minhash" -> ((s, d) => TextOps.sourceMinhash(s, d, cfg)),
     "q_simhash_dedup" -> ((s, d) => TextOps.simhashDedup(s, d)),
@@ -324,6 +326,14 @@ object SparkEntry {
     // contiguous cover, min/max clamps) — DuckDB states the expected
     // invariant row per (doc, algo), so a single dropped/overlapping
     // chunk anywhere in any chunker hash-mismatches.
+    // chunk-granularity restore (T1/T2/T5 over byte streams): every
+    // chunk fetched from the store must reproduce its slice exactly —
+    // the expected report is a constant, same pattern as
+    // q_roundtrip_verify.
+    "q_chunk_restore" ->
+      """SELECT CAST(0 AS BIGINT) AS missing_chunks,
+        | CAST(0 AS BIGINT) AS byte_mismatches,
+        | CAST(1 AS BIGINT) AS all_restored""".stripMargin,
     "q_chunk_cover" ->
       """SELECT d.doc_id, a.algo,
         |  CAST(octet_length(encode(d.text)) AS BIGINT) AS total_len,

@@ -2,6 +2,8 @@ package graft.ops
 
 import graft.signatures.Chunker
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Dataset-side surface of the CDC chunker family (P2–P6): a narrow
   * typed flatMap over the documents table — no shuffle, no state, the
@@ -43,6 +45,85 @@ object ChunkOps {
         row
       }
     }.toDF()
+  }
+
+  /** The reference's backup job at chunk granularity (its main "query",
+    * §3.1): chunk the byte streams, fingerprint, dedup first-occurrence-
+    * wins (J1's self-insertion = row_number over fp), pack the unique
+    * chunks into byte-bounded containers (W3), and report the job
+    * counters destor prints per backup (A7: chunk/unique counts, raw vs
+    * stored bytes, dedup ratio, containers written).
+    *
+    * Shuffle budget at scale: ONE data-scale hash shuffle on fp for the
+    * dedup decision, one on the pack shard for container assignment —
+    * the same two destor pays (index probe + container write); the
+    * stats are map-side partial aggregations over each.
+    */
+  def chunkBackup(spark: SparkSession, dir: String, algo: String = "fastcdc",
+                  p: Chunker.Params = Chunker.docParams,
+                  containerBytes: Long = 4096L): DataFrame = {
+    val ord = Window.partitionBy("fp")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val flagged = chunkDocs(spark, dir, algo, p)
+      .withColumn("is_first", row_number().over(ord) === 1)
+    // pack with a conditional size: dup rows contribute 0 bytes, so the
+    // container boundaries over the unique rows are exactly pack()'s,
+    // while everything stays ONE plan (no duplicate chunking subtree)
+    val packed = ContainerOps.pack(flagged,
+      shard = pmod(hash(col("fp")), lit(32)).cast("string"),
+      order = col("doc_id") * lit(1000000) + col("chunk_idx"),
+      size = when(col("is_first"), col("len")).otherwise(lit(0L)),
+      containerBytes = containerBytes)
+    packed.agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_unique"),
+        sum("len").as("total_bytes"),
+        sum(when(col("is_first"), col("len")).otherwise(0L)).as("stored_bytes"),
+        countDistinct(when(col("is_first"), col("container_id"))).as("n_containers"))
+      .withColumn("dedup_ratio",
+        round((col("total_bytes") - col("stored_bytes")) / col("total_bytes"), 6))
+      .select("n_chunks", "n_unique", "total_bytes", "stored_bytes",
+        "dedup_ratio", "n_containers")
+  }
+
+  /** destor's restore job at chunk granularity (T1/T2/T5): the recipe
+    * stream (doc_id, chunk_idx, fp) probes the content store (first
+    * occurrence of each fingerprint, a pointer into its source doc) and
+    * every fetched piece is compared byte-for-byte against the slice it
+    * must reproduce. Per-chunk equality + the tiling contract
+    * (q_chunk_cover) together imply byte-identical reconstruction, so
+    * no reassembly buffer (collect_list) is ever built — the verify is
+    * a streaming join, scale-safe at any document size.
+    *
+    * Returns one row (missing_chunks, byte_mismatches, all_restored)
+    * whose expected value is a constant — the same oracle pattern as
+    * q_roundtrip_verify.
+    */
+  def chunkRestore(spark: SparkSession, dir: String, algo: String = "fastcdc",
+                   p: Chunker.Params = Chunker.docParams): DataFrame = {
+    val bytesDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+    val chunks = chunkDocs(spark, dir, algo, p)
+    val ord = Window.partitionBy("fp").orderBy(col("doc_id"), col("chunk_idx"))
+    val store = chunks
+      .withColumn("rn", row_number().over(ord)).filter(col("rn") === 1)
+      .select(col("fp"), col("doc_id").as("src_doc"),
+        col("off").as("src_off"), col("len").as("src_len"))
+    chunks
+      .join(store, Seq("fp"), "left_outer")
+      .join(bytesDf.select(col("doc_id").as("src_doc"), col("bytes").as("src_bytes")),
+        Seq("src_doc"), "left_outer")
+      .join(bytesDf, Seq("doc_id"))
+      .agg(
+        sum(when(col("src_doc").isNull, 1L).otherwise(0L)).as("missing_chunks"),
+        sum(when(col("src_doc").isNotNull &&
+          (col("src_len") =!= col("len") ||
+            expr("substring(src_bytes, src_off + 1, src_len)") =!=
+              expr("substring(bytes, off + 1, len)")), 1L).otherwise(0L))
+          .as("byte_mismatches"))
+      .select(col("missing_chunks"), col("byte_mismatches"),
+        when(col("missing_chunks") === 0 && col("byte_mismatches") === 0, 1L)
+          .otherwise(0L).as("all_restored"))
   }
 
   /** Tiling-invariant projection for ALL five algorithms at once:
