@@ -119,10 +119,15 @@ object ConnectedComponents {
         .persist(lvl)
       // truncate the recovery chain every few rounds: a lost block
       // otherwise recomputes recursively back to round 0 at cluster
-      // scale (localCheckpoint = persist + lineage cut; on a real
-      // cluster with reliable storage prefer sc.setCheckpointDir +
-      // checkpoint() for executor-loss safety).
-      if (iter % 4 == 0) jumped.localCheckpoint()
+      // scale. With a configured checkpoint dir the cut is RELIABLE
+      // (survives executor loss — the write piggybacks on the count()
+      // job below, reading from the fresh cache); otherwise
+      // localCheckpoint (persist + lineage cut) keeps single-box runs
+      // cheap.
+      if (iter % 4 == 0) {
+        if (spark.sparkContext.getCheckpointDir.isDefined) jumped.checkpoint()
+        else jumped.localCheckpoint()
+      }
       jumped.count()
       retired += labels
       labels = jumped

@@ -92,6 +92,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("connected components uses reliable checkpoints when a checkpoint dir is set") {
+    import org.apache.spark.sql.functions._
+    val sc = spark.sparkContext
+    // chain long enough to cross the every-4-rounds truncation point
+    val n = 64L
+    val verts = spark.range(n).select(concat(lit("v"), col("id")).as("id"))
+    val edges = spark.range(n - 1).select(
+      concat(lit("v"), col("id")).as("src"),
+      concat(lit("v"), col("id") + 1).as("dst"))
+    val plain = graft.cluster.ConnectedComponents.run(spark, verts, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val durable = graft.cluster.ConnectedComponents.run(spark, verts, edges)
+        .collect().map(r => r.getString(0) -> r.getString(1)).sortBy(_._1).toSeq
+      assert(durable == plain)
+      // the reliable cut actually wrote checkpoint state
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "expected RDD checkpoint files under the checkpoint dir")
+    } finally {
+      sc.setCheckpointDir(null) // Option(null) => None: back to localCheckpoint
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("hot-bucket skew is capped (CAP analog): star pairs, no quadratic blowup") {
     val cfgHot = cfg.copy(bucketCap = 8)
     val skewIds = local.filter(_.caption.startsWith("stock photo no description available")).map(_.image_id).toSet
