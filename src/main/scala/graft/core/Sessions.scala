@@ -79,6 +79,10 @@ object Sessions {
       // drivers; a multi-batch ingest driver on a real cluster needs it
       // for exactly the same reason.
       .config("spark.cleaner.periodicGC.interval", "45s")
+      // reliable RDD checkpoints (CC lineage cuts under a pipeline
+      // workDir) are transient state — reclaim them as their RDDs are
+      // garbage-collected instead of letting workDirs grow
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // OFF-HEAP execution memory: Tungsten page allocations (shuffle
       // sorter pages, aggregation maps) on-heap go through
       // HeapMemoryAllocator — a SYNCHRONIZED weak-ref page pool plus a

@@ -105,6 +105,13 @@ object CheckpointedPipeline {
       java.lang.Long.toHexString(n ^ graft.signatures.Sig.mix64(h))
     }
     val runner = new StageRunner(spark, workDir, cfg, runId, inputKey)
+    // the checkpointed flow owns durable storage, so route the CC
+    // loop's lineage cuts there too: an executor loss mid-CC then
+    // resumes from the last reliable cut instead of recomputing the
+    // label chain from round 0 (ConnectedComponents picks this up via
+    // sc.getCheckpointDir)
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(s"$workDir/rdd-checkpoints")
 
     val imagesDf = runner.stage("images")(images.toDF())
     def imagesDs = imagesDf.as[ImageRow]
