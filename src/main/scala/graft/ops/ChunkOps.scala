@@ -33,9 +33,15 @@ object ChunkOps {
     * driver check; the tiling invariants are oracled via chunkCover and
     * the byte-level properties in ChunkerSpec). */
   def chunkDocs(spark: SparkSession, dir: String, algo: String,
-                p: Chunker.Params = Chunker.docParams): DataFrame = {
+                p: Chunker.Params = Chunker.docParams): DataFrame =
+    chunkDf(docs(spark, dir).toDF(), algo, p)
+
+  /** Same over any (doc_id: long, text: string) DataFrame. */
+  def chunkDf(docsDf: DataFrame, algo: String,
+              p: Chunker.Params = Chunker.docParams): DataFrame = {
+    val spark = docsDf.sparkSession
     import spark.implicits._
-    docs(spark, dir).flatMap { d =>
+    docsDf.select("doc_id", "text").as[Doc].flatMap { d =>
       val b = d.text.getBytes("UTF-8")
       val ends = Chunker.boundaries(algo, b, p)
       var off = 0

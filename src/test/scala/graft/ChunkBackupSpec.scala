@@ -91,6 +91,34 @@ class ChunkBackupSpec extends AnyFunSuite {
     assert(corrupted > 0L)
   }
 
+  test("incremental chunk ingest: two backups == one-shot, re-backup dedups ~fully") {
+    import org.apache.spark.sql.functions._
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val wd = java.nio.file.Files.createTempDirectory("chunk-ingest").toString
+    val ing = new graft.pipeline.ChunkIngest(spark, wd)
+
+    val a = ing.ingest(docsDf.filter(col("doc_id") < 250), "b1").collect()(0)
+    val b = ing.ingest(docsDf.filter(col("doc_id") >= 250), "b2").collect()(0)
+
+    // destor invariant: consecutive backups store exactly what one
+    // backup of the union would — nothing recomputed, nothing lost
+    val oneShot = ChunkOps.chunkBackup(spark, dir, "fastcdc", p, 4096L).collect()(0)
+    assert(a.getAs[Long]("n_new") + b.getAs[Long]("n_new") ==
+      oneShot.getAs[Long]("n_unique"))
+    assert(a.getAs[Long]("new_bytes") + b.getAs[Long]("new_bytes") ==
+      oneShot.getAs[Long]("stored_bytes"))
+    assert(ing.store.select("fp").distinct().count() ==
+      oneShot.getAs[Long]("n_unique"))
+
+    // the daily re-backup: identical content under fresh doc ids must
+    // dedup completely against the store (destor's headline ratio)
+    val rerun = ing.ingest(
+      docsDf.withColumn("doc_id", col("doc_id") + 1000000), "b3").collect()(0)
+    assert(rerun.getAs[Long]("n_new") == 0L)
+    assert(rerun.getAs[Double]("dedup_ratio") == 1.0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
+  }
+
   test("chunk backup is deterministic across reruns and algorithms stay distinct") {
     val a = ChunkOps.chunkBackup(spark, dir, "rabin", p, containerBytes).collect()(0)
     val b = ChunkOps.chunkBackup(spark, dir, "rabin", p, containerBytes).collect()(0)
