@@ -83,6 +83,41 @@ object Bench {
     dir
   }
 
+  /** Pre-materialized binary blobs for the chunk-phase throughput
+    * number (destor's per-phase MB/s surface): `rows` x `rowBytes` of
+    * deterministic pseudo-random bytes in tmpfs parquet, written
+    * OUTSIDE the clock. */
+  private val BlobRows = 8192
+  private val BlobRowBytes = 64 * 1024 // 512 MiB total
+  private def blobDir: String = {
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    s"$base/graft-bench-blobs-$BlobRows-$BlobRowBytes"
+  }
+
+  private def ensureBlobs(spark: SparkSession): String = {
+    val dir = blobDir
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(BlobRows).map { i =>
+        val b = java.nio.ByteBuffer.allocate(BlobRowBytes)
+        var x = graft.signatures.Sig.mix64(0xb10b5L + i)
+        var j = 0
+        while (j < BlobRowBytes / 8) { x = graft.signatures.Sig.mix64(x); b.putLong(x); j += 1 }
+        b.array()
+      }.toDF("bytes").write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  private def dropBlobs(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val d = new java.io.File(blobDir)
+    if (d.exists()) rm(d)
+  }
+
   private def dropCorpus(nGroups: Long): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -235,6 +270,33 @@ object Bench {
       "substr_dups" -> minOf2(graft.text.TextOps.substrDedup(spark32, sfDir, cfg).count()),
       "cfl_rewrite" -> minOf2(graft.text.TextOps.cflRewrite(spark32, sfDir).count()),
       "chunk_fastcdc" -> minOf2(graft.ops.ChunkOps.chunkDocs(spark32, sfDir, "fastcdc").count()),
+      // destor's chunk+hash phase MB/s analog: scan 512 MiB of binary
+      // rows (tmpfs parquet, written outside the clock), cut with the
+      // reference's default sizes (min 512 / avg 4 Ki / max 64 Ki,
+      // destor.config:29-31) and fingerprint every chunk
+      "chunk_512mb" -> {
+        import spark32.implicits._
+        val dir = ensureBlobs(spark32)
+        val p = graft.signatures.Chunker.Params(512, 4096, 65536)
+        minOf2 {
+          val n = spark32.read.parquet(dir).select("bytes").as[Array[Byte]]
+            .mapPartitions { it =>
+              var chunks = 0L
+              var acc = 0L
+              it.foreach { b =>
+                val ends = graft.signatures.Chunker.fastcdc(b, p)
+                var off = 0
+                ends.foreach { e =>
+                  acc ^= graft.signatures.Chunker.rangeFp(b, off, e - off)
+                  off = e
+                }
+                chunks += ends.length
+              }
+              Iterator.single(chunks ^ (acc & 1L)) // fp dependency, count intact
+            }.reduce(_ + _)
+          require(n > 0)
+        }
+      },
       "roundtrip_verify" -> {
         // table-backed corpus (the real calling shape): a bare
         // CorpusGen dataset would re-generate pixels on each of the
@@ -264,6 +326,7 @@ object Bench {
       gateImages)
 
     Seq(warmupGroups, nGroups, gateGroups, SparkEntry.groupsFor(sfDir)).foreach(dropCorpus)
+    dropBlobs()
 
     // the two pairs run the SAME job on the SAME corpus/config, so the
     // shared local[8] level pools reps from both — more samples for the
@@ -381,6 +444,12 @@ object Bench {
     md ++= "executor brings its own memory system.\n\n"
     md ++= "## Headline query timings at local[32] (pooled min across recorded runs)\n\n| query | sec |\n|---|---|\n"
     queryTimes.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
+    queryTimes.collectFirst { case ("chunk_512mb", t) =>
+      md ++= f"\nChunk-phase throughput (destor per-phase MB/s analog): 512 MiB of\n"
+      md ++= f"binary rows scanned from tmpfs parquet, FastCDC cut at the\n"
+      md ++= f"reference's default sizes (min 512 / avg 4 Ki / max 64 Ki) with a\n"
+      md ++= f"fingerprint per chunk: **${512.0 / t}%.0f MB/s** at local[32].\n"
+    }
     java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md.toString)
   }
 }
