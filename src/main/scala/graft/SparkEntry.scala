@@ -71,6 +71,7 @@ object SparkEntry {
     "q_source_minhash" -> ((s, d) => TextOps.sourceMinhash(s, d, cfg)),
     "q_simhash_dedup" -> ((s, d) => TextOps.simhashDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardDedup(s, d)),
+    "q_ngram_exact" -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
     // --- embedding similarity search ---
     "q_embed_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "q_embed_ann" -> ((s, d) => EmbedOps.annTopK(s, d)),
@@ -208,6 +209,21 @@ object SparkEntry {
         |             {'h':h_es,'l':'es'},{'h':h_zh,'l':'zh'}])[-1].l AS lang_pred,
         |  CAST(h_en AS INTEGER) AS en_hits
         |FROM h""".stripMargin,
+    "q_ngram_exact" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substring(t, i, 3) AS gram
+        |  FROM (SELECT doc_id, lower(text) AS t,
+        |          unnest(generate_series(1, length(text) - 2)) AS i
+        |        FROM documents WHERE length(text) >= 3)),
+        |c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |sh AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, shared, c1.n + c2.n - shared AS union_sz
+        |FROM sh JOIN c c1 ON sh.id1 = c1.doc_id
+        |        JOIN c c2 ON sh.id2 = c2.doc_id
+        |WHERE shared * 5 >= (c1.n + c2.n) * 2""".stripMargin,
     "q_set_ops" ->
       """SELECT DISTINCT l_partkey AS partkey FROM lineitem
         |EXCEPT

@@ -291,6 +291,42 @@ object TextOps extends Serializable {
       .select("id1", "id2", "jaccard3")
   }
 
+  /** EXACT char-trigram Jaccard dups via an inverted-index join — the
+    * all-postings twin of the LSH-approximate `ngramJaccardDedup`
+    * above, mirroring destor's exact-physical index vs its sampled
+    * near-exact ones (reference: src/index/index.c:140-217 vs
+    * sampling_method.c). The threshold test runs in INTEGER arithmetic
+    * (5*shared >= 2*(n1+n2)  <=>  shared/union >= 2/3), so the output
+    * (id1, id2, shared, union_sz) is bit-stable against a SQL oracle
+    * with no float-rounding hazard.
+    *
+    * Scale shape: two equi-joins + groupBys, all codegen'd; the gram
+    * self-join is quadratic in a gram's doc-frequency, so at corpus
+    * scale you either df-prune the posting list (CAP-style capping,
+    * identically on both engine and oracle) or run the LSH variant —
+    * this form is the exactness baseline the approximate family is
+    * graded against. */
+  def ngramJaccardExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(length(col("text")) >= 3)
+    // distinct trigrams of lower(text), positions 1..len-2 (1-indexed
+    // substring in both Spark and DuckDB)
+    val grams = d
+      .withColumn("t", lower(col("text")))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))).as("gram"))
+    val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = grams.toDF("id1", "gram")
+      .join(grams.toDF("id2", "gram"), "gram")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.toDF("id1", "n1"), "id1")
+      .join(cnt.toDF("id2", "n2"), "id2")
+      .filter(col("shared") * 5 >= (col("n1") + col("n2")) * 2)
+      .select(col("id1"), col("id2"), col("shared"),
+        (col("n1") + col("n2") - col("shared")).as("union_sz"))
+  }
+
   /** Exact substring-containment dups WITHIN each source shard:
     * winnowing postings guarantee recall for contained texts >=
     * substrMinChars; verified with a real `contains`. Returns

@@ -89,6 +89,27 @@ class DocOpsSpec extends AnyFunSuite {
     assert(missed.size <= math.max(1, want.size / 100), s"missed high-sim: ${missed.take(5)} of ${want.size}")
   }
 
+  test("exact ngram jaccard == brute-force string-trigram recompute (set equality)") {
+    def triSet(tx: String): Set[String] = {
+      val t = tx.toLowerCase
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+    }
+    val g = docLocal.map { case (id, tx) => id -> triSet(tx) }.filter(_._2.nonEmpty)
+    val want = (for {
+      i <- g.indices.iterator
+      j <- (i + 1) until g.length
+      shared = g(i)._2.intersect(g(j)._2).size
+      if shared * 5 >= (g(i)._2.size + g(j)._2.size) * 2
+    } yield {
+      val (a, b) = if (g(i)._1 < g(j)._1) (g(i)._1, g(j)._1) else (g(j)._1, g(i)._1)
+      (a, b, shared.toLong, (g(i)._2.size + g(j)._2.size - shared).toLong)
+    }).toSet
+    val got = TextOps.ngramJaccardExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("ANN recall@5 vs brute-force cosine top-5") {
     val bf = EmbedOps.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
