@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Chunk-phase throughput probe (destor's per-phase MB/s surface,
+  * reference: the chunk+hash phase timers in src/backup.c): scan 2 GiB
+  * of binary rows from tmpfs parquet, cut with FastCDC at the
+  * reference's default sizes (min 512 / avg 4 Ki / max 64 Ki,
+  * destor.config:29-31), fingerprint every chunk.
+  *
+  * Runs as a CHILD JVM, one per (parallelism level, rep): measuring
+  * one level inside the long-lived bench JVM and another fresh skews
+  * the pair by heap/GC history — observed 4.99 s for the same 32-core
+  * sweep that a fresh JVM finishes in ~1.4 s (old-gen occupancy from
+  * the headline suite turns 32-thread allocation into collector
+  * pressure; 8-thread runs barely notice). A fresh JVM per measurement
+  * is exactly the standalone-probe protocol whose numbers this table
+  * must reproduce (doc/shuffle-scaling-notes.md).
+  *
+  * The sweep is NOT compute-bound despite the gear hashing: parquet
+  * binary decode dominates (~100 MB/s/thread vs ~450 MB/s raw hash,
+  * measured standalone), so like every byte-streaming stage its
+  * scaling evidence belongs at the 2→8 pair — the flat-bandwidth
+  * regime BENCH/BASELINE.md documents — not 8→32 (even a
+  * cache-resident zero-IO sweep reaches only ~0.56 there; pure-ALU
+  * loop: 0.90).
+  */
+object ChunkProbe {
+  val BlobRows = 32768
+  val BlobRowBytes = 64 * 1024 // 2 GiB total
+  val BlobMiB: Long = BlobRows.toLong * BlobRowBytes / (1024 * 1024)
+
+  def blobDir: String = {
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    s"$base/graft-bench-blobs-$BlobRows-$BlobRowBytes"
+  }
+
+  /** Deterministic pseudo-random blobs in tmpfs parquet, written
+    * OUTSIDE the clock (first caller writes, later callers reuse). */
+  def ensureBlobs(spark: SparkSession): String = {
+    import spark.implicits._
+    val dir = blobDir
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      spark.range(BlobRows).map { i =>
+        val b = java.nio.ByteBuffer.allocate(BlobRowBytes)
+        var x = graft.signatures.Sig.mix64(0xb10b5L + i)
+        var j = 0
+        while (j < BlobRowBytes / 8) { x = graft.signatures.Sig.mix64(x); b.putLong(x); j += 1 }
+        b.array()
+      }.toDF("bytes").write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  def dropBlobs(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(blobDir))
+  }
+
+  /** min-of-2 wall seconds for the sweep on the given session. */
+  def timeSweep(spark: SparkSession): Double = {
+    import spark.implicits._
+    val dir = ensureBlobs(spark)
+    val p = graft.signatures.Chunker.Params(512, 4096, 65536)
+    def once: Double = {
+      val t0 = System.nanoTime()
+      val n = spark.read.parquet(dir).select("bytes").as[Array[Byte]]
+        .mapPartitions { it =>
+          var chunks = 0L
+          var acc = 0L
+          it.foreach { b =>
+            val ends = graft.signatures.Chunker.fastcdc(b, p)
+            var off = 0
+            ends.foreach { e =>
+              acc ^= graft.signatures.Chunker.rangeFp(b, off, e - off)
+              off = e
+            }
+            chunks += ends.length
+          }
+          Iterator.single(chunks ^ (acc & 1L)) // fp dependency, count intact
+        }.reduce(_ + _)
+      require(n > 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once, once)
+  }
+
+  /** Child-JVM entry: args = (cores). Prints one marker line the
+    * parent parses; Spark logging rides stderr. */
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val spark = graft.core.Sessions.local(cores, 128, s"graft-chunkprobe-$cores")
+    val wall = timeSweep(spark)
+    println(f"CHUNK_PROBE_WALL=$wall%.3f")
+    spark.stop()
+  }
+
+  private val Jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run the probe in a fresh child JVM and return its wall seconds.
+    * Fixed-size heap for the same mmap-churn reason as build.sbt; 8g is
+    * ample for a 2 GiB scan and keeps child+parent within the box. */
+  def spawn(cores: Int): Double = {
+    val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val cp = {
+      val p = System.getProperty("java.class.path")
+      if (p != null && p.contains("classes")) p
+      else "target/scala-2.13/classes:/opt/spark/jars/*"
+    }
+    val cmd = (Seq(javaBin) ++ Jdk17AddOpens ++ Seq(
+      "-Xms8g", "-Xmx8g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.ChunkProbe", cores.toString)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val code = proc.waitFor()
+    val marker = out.linesIterator.collectFirst {
+      case l if l.startsWith("CHUNK_PROBE_WALL=") => l.stripPrefix("CHUNK_PROBE_WALL=").toDouble
+    }
+    require(code == 0 && marker.isDefined, s"chunk probe (cores=$cores) failed: exit=$code out=$out")
+    marker.get
+  }
+}
