@@ -73,6 +73,55 @@ object StreamingOps {
         }
       }
 
+  /** Streaming LSH candidate-pair generation with a STATEFUL per-bucket
+    * posting store — destor's in-memory fingerprint index recast as
+    * `flatMapGroupsWithState` (reference: kv probe+append
+    * src/index/index.c:140-217; the FIFO value cap `index_value_length`
+    * src/index/kvstore_htable.c:158-207 bounds each key's posting
+    * list). Input: a stream of (doc_id: long, text: string). Per
+    * micro-batch, each new posting is paired against the bucket's
+    * stored members (emitting candidates new-vs-old AND new-vs-new, in
+    * arrival order), then appended to the state FIFO, which keeps the
+    * newest `cfg.indexValueLength` entries — so per-key state is
+    * bounded exactly like destor's kv value list, and total state is
+    * O(#distinct buckets × cap) regardless of stream length.
+    *
+    * Emission is at-least-once per pair (two docs sharing several bands
+    * emit once per shared bucket) — identical to the batch candidate
+    * stream before its `.distinct()`; downstream exact verify dedups,
+    * or compare as a SET against `TextOps.bucketPairs` (the spec does).
+    * With the default cap this is the streaming twin of the capped
+    * batch probe in IncrementalDedup step 3. */
+  def streamingCandidatePairs(
+      docs: DataFrame,
+      cfg: graft.core.DedupConfig = graft.core.DedupConfig.default)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.text.TextOps.minhashBands(docs, cfg)
+      .select(col("band"), col("bucket"), col("doc_id").cast("long"))
+      .as[(Int, Long, Long)]
+      .groupByKey { case (band, bucket, _) => (band, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long)], state: GroupState[Array[Long]]) =>
+          var members = state.getOption.getOrElse(Array.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rows.foreach { case (_, _, id) =>
+            var i = 0
+            while (i < members.length) {
+              val m = members(i)
+              if (m != id) out += (if (m < id) (m, id) else (id, m))
+              i += 1
+            }
+            members = (members :+ id).takeRight(cfg.indexValueLength)
+          }
+          state.update(members)
+          out.iterator
+      }
+      .toDF("id1", "id2").as[(Long, Long)]
+  }
+
   /** Run a streaming query over a static parquet dir to completion
     * and return the result table (memory sink) — the harness for
     * batch/stream agreement tests. */

@@ -167,8 +167,11 @@ object TextOps extends Serializable {
 
   // ---------------- near-dup family ----------------
 
-  /** Per-doc MinHash band keys (narrow). */
-  private def minhashBands(d: DataFrame, cfg: DedupConfig): DataFrame = {
+  /** Per-doc MinHash band postings (doc_id, band, bucket) — narrow
+    * per-row map, the LSH index entry stream. Public because it is the
+    * shared front half of both the batch pair generator below and the
+    * streaming stateful one (StreamingOps.streamingCandidatePairs). */
+  def minhashBands(d: DataFrame, cfg: DedupConfig): DataFrame = {
     val mh = udf((text: String) => {
       val sh = Sig.shingleHashes(text, cfg.shingleSize)
       Sig.bandKeys(Sig.minhash(sh, cfg), cfg)
