@@ -231,12 +231,13 @@ object Bench {
     // toward the min (interference only slows).
     val chunkTol = 1.15
     val chunkReps = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+    // taint rate from the CHILD's own steal reading around the timed
+    // sweep only — ticks over the whole child lifetime (JVM startup,
+    // one-time blob write) would dilute a throttled 1.5 s sweep below
+    // any threshold
     def chunkProbeRep(c: Int): (Int, Double, Long) = {
-      val s0 = steal()
-      val t0 = System.nanoTime()
-      val w = ChunkProbe.spawn(c)
-      val outer = (System.nanoTime() - t0) / 1e9
-      (c, w, math.round((steal() - s0) / math.max(outer, 1e-9)))
+      val (w, st) = ChunkProbe.spawn(c)
+      (c, w, math.round(st / math.max(w, 1e-9)))
     }
     def chunkStable(c: Int): Boolean = {
       val ws = (chunkReps.iterator.filter(r => r._1 == c && r._3 <= 100L).map(_._2) ++
@@ -455,7 +456,10 @@ object Bench {
       md ++= f"| local[8]  | $chunk8%.2f | ${B / chunk8}%.0f |\n"
       md ++= f"| local[32] | $chunk32%.2f | ${B / chunk32}%.0f |\n\n"
       md ++= f"**Chunk-phase scaling efficiency 2→8: $chunkEff28%.3f** — the same\n"
-      md ++= f"N→4N proxy pair as the gate above, and it passes the 0.8 bar like\n"
+      md ++= (if (chunkEff28 >= 0.8)
+        f"N→4N proxy pair as the gate above, passing the 0.8 bar like\n"
+      else
+        f"N→4N proxy pair as the gate above, BELOW the 0.8 bar of\n")
       md ++= f"the end-to-end pipeline's 2→8 number. The 8→32 ratio is NOT a\n"
       md ++= f"valid engine-scaling signal for this stage: parquet binary decode\n"
       md ++= f"dominates the sweep (~100 MB/s/thread vs ~450 MB/s raw gear+fp,\n"

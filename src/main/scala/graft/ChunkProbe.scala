@@ -61,11 +61,18 @@ object ChunkProbe {
   }
 
   /** min-of-2 wall seconds for the sweep on the given session. */
-  def timeSweep(spark: SparkSession): Double = {
+  private def stealTicks(): Long =
+    scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")(8).toLong
+
+  /** (wall seconds, steal ticks) of the faster of two sweeps — steal is
+    * measured around the TIMED window only, so the parent's taint check
+    * is not diluted by child-JVM startup or the one-time blob write. */
+  def timeSweep(spark: SparkSession): (Double, Long) = {
     import spark.implicits._
     val dir = ensureBlobs(spark)
     val p = graft.signatures.Chunker.Params(512, 4096, 65536)
-    def once: Double = {
+    def once: (Double, Long) = {
+      val s0 = stealTicks()
       val t0 = System.nanoTime()
       val n = spark.read.parquet(dir).select("bytes").as[Array[Byte]]
         .mapPartitions { it =>
@@ -83,18 +90,19 @@ object ChunkProbe {
           Iterator.single(chunks ^ (acc & 1L)) // fp dependency, count intact
         }.reduce(_ + _)
       require(n > 0)
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, stealTicks() - s0)
     }
-    math.min(once, once)
+    Seq(once, once).minBy(_._1)
   }
 
   /** Child-JVM entry: args = (cores). Prints one marker line the
-    * parent parses; Spark logging rides stderr. */
+    * parent parses (Locale.ROOT — a comma-decimal default locale must
+    * not break the round trip); Spark logging rides stderr. */
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val spark = graft.core.Sessions.local(cores, 128, s"graft-chunkprobe-$cores")
-    val wall = timeSweep(spark)
-    println(f"CHUNK_PROBE_WALL=$wall%.3f")
+    val (wall, st) = timeSweep(spark)
+    println(String.format(java.util.Locale.ROOT, "CHUNK_PROBE_WALL=%.3f STEAL=%d", wall, st))
     spark.stop()
   }
 
@@ -108,14 +116,20 @@ object ChunkProbe {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Run the probe in a fresh child JVM and return its wall seconds.
-    * Fixed-size heap for the same mmap-churn reason as build.sbt; 8g is
-    * ample for a 2 GiB scan and keeps child+parent within the box. */
-  def spawn(cores: Int): Double = {
+  private val Marker = """CHUNK_PROBE_WALL=([0-9.]+) STEAL=([0-9]+)""".r
+
+  /** Run the probe in a fresh child JVM; returns (sweep wall seconds,
+    * steal ticks during that sweep). The child inherits the parent's
+    * classpath verbatim (works for exploded classes and assembly jars
+    * alike); the repo-layout guess is only a last resort for an empty
+    * property. Fixed-size heap for the same mmap-churn reason as
+    * build.sbt; 8g is ample for a 2 GiB scan and keeps child+parent
+    * within the box. */
+  def spawn(cores: Int): (Double, Long) = {
     val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     val cp = {
       val p = System.getProperty("java.class.path")
-      if (p != null && p.contains("classes")) p
+      if (p != null && p.nonEmpty) p
       else "target/scala-2.13/classes:/opt/spark/jars/*"
     }
     val cmd = (Seq(javaBin) ++ Jdk17AddOpens ++ Seq(
@@ -128,7 +142,7 @@ object ChunkProbe {
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     val code = proc.waitFor()
     val marker = out.linesIterator.collectFirst {
-      case l if l.startsWith("CHUNK_PROBE_WALL=") => l.stripPrefix("CHUNK_PROBE_WALL=").toDouble
+      case Marker(w, s) => (w.toDouble, s.toLong)
     }
     require(code == 0 && marker.isDefined, s"chunk probe (cores=$cores) failed: exit=$code out=$out")
     marker.get

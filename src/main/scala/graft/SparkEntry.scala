@@ -210,11 +210,12 @@ object SparkEntry {
         |  CAST(h_en AS INTEGER) AS en_hits
         |FROM h""".stripMargin,
     "q_ngram_exact" ->
-      """WITH g AS (
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |g AS (
         |  SELECT DISTINCT doc_id, substring(t, i, 3) AS gram
-        |  FROM (SELECT doc_id, lower(text) AS t,
-        |          unnest(generate_series(1, length(text) - 2)) AS i
-        |        FROM documents WHERE length(text) >= 3)),
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, length(t) - 2)) AS i
+        |        FROM d WHERE length(t) >= 3)),
         |c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
         |sh AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared

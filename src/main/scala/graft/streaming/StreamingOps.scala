@@ -80,11 +80,19 @@ object StreamingOps {
     * src/index/kvstore_htable.c:158-207 bounds each key's posting
     * list). Input: a stream of (doc_id: long, text: string). Per
     * micro-batch, each new posting is paired against the bucket's
-    * stored members (emitting candidates new-vs-old AND new-vs-new, in
-    * arrival order), then appended to the state FIFO, which keeps the
-    * newest `cfg.indexValueLength` entries — so per-key state is
-    * bounded exactly like destor's kv value list, and total state is
+    * stored members (emitting candidates new-vs-old AND new-vs-new),
+    * then appended to the state FIFO, which keeps the newest
+    * `cfg.indexValueLength` entries — so per-key state is bounded
+    * exactly like destor's kv value list, and total state is
     * O(#distinct buckets × cap) regardless of stream length.
+    *
+    * Determinism: `flatMapGroupsWithState` guarantees no intra-group
+    * row order, so a bucket's postings WITHIN one micro-batch are
+    * processed in ascending doc_id (one sort of a per-batch-bounded
+    * buffer); across micro-batches the FIFO is ingest order. Output
+    * and retained state are therefore run-invariant: a micro-batch is
+    * one ingest, like destor's jcr, and destor's kv list order within
+    * one backup job is equally an implementation detail.
     *
     * Emission is at-least-once per pair (two docs sharing several bands
     * emit once per shared bucket) — identical to the batch candidate
@@ -107,7 +115,9 @@ object StreamingOps {
         (_: (Int, Long), rows: Iterator[(Int, Long, Long)], state: GroupState[Array[Long]]) =>
           var members = state.getOption.getOrElse(Array.empty[Long])
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          rows.foreach { case (_, _, id) =>
+          val batchIds = rows.map(_._3).toArray
+          java.util.Arrays.sort(batchIds) // canonical within-batch order
+          batchIds.foreach { id =>
             var i = 0
             while (i < members.length) {
               val m = members(i)

@@ -308,13 +308,23 @@ object TextOps extends Serializable {
     * scale you either df-prune the posting list (CAP-style capping,
     * identically on both engine and oracle) or run the LSH variant —
     * this form is the exactness baseline the approximate family is
-    * graded against. */
+    * graded against. The gram-extraction subtree appears in three plan
+    * branches (both self-join sides + the count aggregate); the join
+    * sides canonicalize to one exchange once AQE plans a shuffle join,
+    * and the narrow per-doc explode is deliberately recomputed for the
+    * count branch rather than forcing a persist barrier into an
+    * oracled query (same tradeoff as harSparse; a deployment-scale
+    * caller would checkpoint `grams` like streamingIngest pins its
+    * batch). */
   def ngramJaccardExact(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).filter(length(col("text")) >= 3)
     // distinct trigrams of lower(text), positions 1..len-2 (1-indexed
-    // substring in both Spark and DuckDB)
-    val grams = d
+    // substring in both Spark and DuckDB). Length filter and position
+    // range both run on the LOWERCASED string on both engines — a
+    // lower() that changes character count (e.g. U+0130) must not
+    // desynchronize the enumerations.
+    val grams = docs(spark, dir)
       .withColumn("t", lower(col("text")))
+      .filter(length(col("t")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))).as("gram"))
     val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
