@@ -197,6 +197,10 @@ object Bench {
     reps.filter(_.cores == c).map(_.wall).min
 
   def main(args: Array[String]): Unit = {
+    // the ledger JSONL, the one-line driver JSON, and BASELINE.md all
+    // format doubles via the f-interpolator, which is default-locale
+    // sensitive — a comma-decimal locale would corrupt every artifact
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nGroups = SparkEntry.groupsFor(sfDir) * 5 // standard bench corpus: 100k images at sf0.1
     // scaling-pair corpus (1.6M images at sf0.1): the north rule's
@@ -412,7 +416,7 @@ object Bench {
     gate.foreach(row("gate", _))
     sec.foreach(row("secondary", _))
     md ++= "\nThe host shows multi-minute interference windows (identical runs\n"
-    md ++= "3-8x slower at ~1%% steal — co-tenant bandwidth/frequency effects\n"
+    md ++= "3-8x slower at ~1% steal — co-tenant bandwidth/frequency effects\n"
     md ++= "invisible to steal accounting; see doc/shuffle-scaling-notes.md).\n"
     md ++= "Interference only ever SLOWS a run, so min-of-reps is the clean\n"
     md ++= "estimate; rep pairs keep running (interleaved, up to a cap)\n"

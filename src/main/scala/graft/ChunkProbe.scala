@@ -99,6 +99,7 @@ object ChunkProbe {
     * parent parses (Locale.ROOT — a comma-decimal default locale must
     * not break the round trip); Spark logging rides stderr. */
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cores = args(0).toInt
     val spark = graft.core.Sessions.local(cores, 128, s"graft-chunkprobe-$cores")
     val (wall, st) = timeSweep(spark)

@@ -4,6 +4,7 @@ import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components by iterative min-label propagation
@@ -32,6 +33,12 @@ import org.apache.spark.storage.StorageLevel
   * (reference: src/index/index.c:282-315 `index_check_buffer` — an
   * earlier copy's id is adopted by all later copies).
   *
+  * The loop is generic in the vertex-id type: long-keyed graphs (doc
+  * ids) run on primitive longs with NUMERIC min labels, everything
+  * else on strings — an earlier version upcast every id to string,
+  * which silently made the representative the LEXICOGRAPHIC min
+  * ("10" < "2") and changed the output schema for long-id callers.
+  *
   * Scale notes: the partition count derives from the materialized edge
   * count (capped by spark.sql.shuffle.partitions — the operator's
   * cluster-sizing knob); only edge-touching vertices iterate
@@ -44,8 +51,6 @@ object ConnectedComponents {
 
   private val lvl = StorageLevel.MEMORY_AND_DISK_SER
 
-  private val min2: (String, String) => String = (a, b) => if (a <= b) a else b
-
   /** @param vertices single-column DF `id` (all nodes, incl. singletons)
     * @param edges two-column DF `src`,`dst`
     * @param edgeCountHint approximate |edges| when the caller already
@@ -53,19 +58,41 @@ object ConnectedComponents {
     *   sizes the loop partitioner). With a hint the edge plan is
     *   computed ONCE (straight into the partitioned table); without it
     *   an extra persist+count pass sizes the partitioner first.
-    * @return DF (id, component) where component = min id reachable
+    * @return DF (id, component) where component = min id reachable,
+    *   typed like the input id column (long in, long out)
     */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 64, edgeCountHint: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    val labelDf =
+      if (vertices.schema("id").dataType == LongType) {
+        val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)].rdd
+          .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        loop(spark, raw, maxIter, edgeCountHint).toDF("id", "label")
+      } else {
+        val raw = edges.select(col("src"), col("dst")).as[(String, String)].rdd
+          .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        loop(spark, raw, maxIter, edgeCountHint).toDF("id", "label")
+      }
+    // singleton stitch under Catalyst (data-proportional, one pass).
+    vertices.select(col("id"))
+      .join(labelDf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("component"))
+  }
+
+  /** The min-label loop over an already-bidirectional edge RDD, generic
+    * in the id type (Ordering supplies the min; Long ids stay numeric). */
+  private def loop[K](spark: SparkSession, raw: RDD[(K, K)],
+      maxIter: Int, edgeCountHint: Option[Long])(
+      implicit ord: Ordering[K], ct: scala.reflect.ClassTag[K]): RDD[(K, K)] = {
     val sc = spark.sparkContext
+    val min2: (K, K) => K = (a, b) => if (ord.lteq(a, b)) a else b
 
     // bidirectional edge table: partitioned ONCE, reused narrow by every
     // round's join. No dedup pass: duplicate edges only produce
     // duplicate messages into a min() reduce — harmless — and this
     // engine's pair stream is already unique per (id1<id2).
-    val raw = edges.select(col("src"), col("dst")).as[(String, String)].rdd
-      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
     val confPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def partitionerFor(nBidir: Long) = new HashPartitioner(
       math.min(confPartitions, math.max(8, (nBidir / 200000L).toInt + 1)))
@@ -88,7 +115,7 @@ object ConnectedComponents {
     // round 0 init fused with round 1 propagate: under identity labels
     // the neighbor message along (src→dst) is src itself, so
     // label(v) = min(v, min neighbor) needs no join at all.
-    var labels: RDD[(String, String)] = bidir
+    var labels: RDD[(K, K)] = bidir
       .mapPartitions(_.flatMap { case (s, d) => Iterator((d, s), (s, s)) })
       .reduceByKey(part, min2)
       .persist(lvl)
@@ -107,7 +134,7 @@ object ConnectedComponents {
         .reduceByKey(part, min2)
       val stepped = labels.leftOuterJoin(msgs, part)
         .mapPartitions(_.map { case (id, (old, m)) =>
-          val nw = m match { case Some(x) if x < old => x; case _ => old }
+          val nw = m match { case Some(x) if ord.lt(x, old) => x; case _ => old }
           if (nw != old) changed.add(1L)
           (id, nw)
         }, preservesPartitioning = true)
@@ -139,11 +166,6 @@ object ConnectedComponents {
     // after the surviving result is consumed downstream — cheap, they
     // are small and non-blocking.
     retired.foreach(_.unpersist(blocking = false))
-
-    // singleton stitch under Catalyst (data-proportional, one pass).
-    val labelDf = labels.toDF("id", "label")
-    vertices.select(col("id"))
-      .join(labelDf, Seq("id"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).as("component"))
+    labels
   }
 }

@@ -64,24 +64,6 @@ object PairGen {
     }
   }
 
-  /** Sort `ids` ascending, permuting `pls` alongside (both arrays are
-    * mutated in place). Used by pair emitters that sort bucket members
-    * LOCALLY: keeping the id out of the shuffle's sort key makes the
-    * Tungsten sort a single packed-long radix sort (zero comparator
-    * calls) instead of an interpreted multi-column TimSort — measured
-    * as the dominant CPU sink of the posting shuffle at 100k images.
-    */
-  def sortWithPayload[I](ids: Array[I], pls: Array[Long])(
-      implicit ord: Ordering[I], ct: scala.reflect.ClassTag[I]): Unit = {
-    val idx = Array.range(0, ids.length).sortBy(ids(_))
-    val ids2 = new Array[I](ids.length)
-    val pls2 = new Array[Long](pls.length)
-    var i = 0
-    while (i < idx.length) { ids2(i) = ids(idx(i)); pls2(i) = pls(idx(i)); i += 1 }
-    System.arraycopy(ids2, 0, ids, 0, ids.length)
-    System.arraycopy(pls2, 0, pls, 0, pls.length)
-  }
-
   /** CAP-capped pair emission from one bucket's sorted member array:
     * all pairs for buckets <= cap, star pairs to the min member above
     * it (linear fan-in for hot buckets; the star keeps the bucket one

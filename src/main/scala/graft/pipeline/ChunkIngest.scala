@@ -51,9 +51,11 @@ final class ChunkIngest(spark: SparkSession, workDir: String,
       else firsts
     val stored = io.appendBatch(novel, FpStore, runId)
 
+    // sum() over zero rows is NULL — an all-empty backup (every doc
+    // chunked to nothing) must report 0 bytes, not NPE
     val stats = chunks.agg(
         count(lit(1)).as("n_chunks"),
-        sum("len").as("total_bytes")).collect()(0)
+        coalesce(sum("len"), lit(0L)).as("total_bytes")).collect()(0)
     val newBytes =
       if (stored == 0) 0L
       else {

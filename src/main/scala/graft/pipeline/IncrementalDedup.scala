@@ -66,6 +66,13 @@ final class IncrementalDedup(
   def ingest(batch: Dataset[ImageRow], runId: String): DataFrame = {
     import spark.implicits._
     require(!ingested.contains(runId), s"batch $runId already ingested")
+    // crash-retry self-heal: SigStore is the COMMIT MARKER (appended
+    // last, and `ingested` is keyed on it), so a runId present in any
+    // other store without a SigStore entry is debris from a crashed
+    // attempt — drop it so the appendBatch uniqueness guards don't wedge
+    // the retry (destor equally replays an uncommitted jcr from scratch)
+    for (store <- Seq(EdgeStore, ImagesStore, PostStore))
+      if (io.batches(store).contains(runId)) io.dropBatch(store, runId)
     val seq = ingested.length
 
     // 1. signatures + postings for the NEW batch only (narrow stages)
@@ -171,13 +178,20 @@ final class IncrementalDedup(
       .select(col("id").as("image_id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("representative"))
 
-    // 7. publish clusters + append batch to the index stores
+    // 7. publish clusters + append batch to the index stores. The
+    //    SigStore append is LAST — it is the ingest's commit marker
+    //    (`ingested` reads SigStore), so a crash anywhere earlier
+    //    leaves the batch un-ingested and the entry self-heal above
+    //    clears the partial appends on retry; table publishes
+    //    (clusters, HAR) are replace-style and idempotent.
     io.publish(assign, ClustersTable, cfg.configHash, runId)
     io.appendBatch(batch.toDF(), ImagesStore, runId)
-    io.appendBatch(newSigs.toDF(), SigStore, runId)
     io.appendBatch(newPost.toDF().withColumn("ingest_seq", lit(seq)), PostStore, runId)
+    io.appendBatch(newSigs.toDF(), SigStore, runId)
 
-    // 8. HAR handoff: this ingest's hot buckets for the next one
+    // 8. HAR handoff: this ingest's hot buckets for the next one (a
+    //    crash between 7 and here leaves the previous run's hot list
+    //    in place — HAR is an advisory routing hint, not correctness)
     io.publish(sk.hotBuckets, HarTable, cfg.configHash, runId)
     sk.cleanup()
     newSigs.unpersist(blocking = false)

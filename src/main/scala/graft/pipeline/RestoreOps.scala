@@ -55,6 +55,43 @@ object RestoreOps {
       .select(col("id").as("image_id"), col("component").as("content_id"))
   }
 
+  /** Fidelity repair: PSNR is NOT transitive, so connected components
+    * over individually-passing edges can chain a member to a
+    * representative it restores from BELOW the gate (a–b ≥ 40 dB and
+    * b–c ≥ 40 dB do not imply a–c ≥ 40 dB — progressive re-encodes).
+    * Destor never hits this because every copy stores byte-identical
+    * content; a lossy-similarity store must re-check each member
+    * against its cluster representative and DEMOTE failures to their
+    * own content cluster (they then restore from themselves), which
+    * makes the per-row round-trip invariant hold BY CONSTRUCTION at
+    * any corpus. One extra id-pruned bytes join over non-singleton
+    * members — the same cost class as the verify stage's pixel pass. */
+  def fidelityRepair(
+      images: Dataset[ImageRow],
+      cclusters: DataFrame,
+      cfg: DedupConfig): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val members = cclusters.filter(col("image_id") =!= col("content_id"))
+    val px = images.select(col("image_id"), col("bytes"), col("fmt"))
+    val checked = members
+      .join(px, "image_id")
+      .join(px.select(col("image_id").as("content_id"),
+        col("bytes").as("r_bytes"), col("fmt").as("r_fmt")), "content_id")
+      .select(col("image_id"), col("content_id"),
+        col("bytes"), col("fmt"), col("r_bytes"), col("r_fmt"))
+      .as[(String, String, Array[Byte], String, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, cid, ob, of, rb, rf) =>
+          (id, cid, Codec.psnr(Codec.decode(ob, of), Codec.decode(rb, rf)) >= cfg.psnrMin)
+        }
+      }
+      .toDF("image_id", "content_id", "ok")
+    cclusters.filter(col("image_id") === col("content_id"))
+      .unionByName(checked.select(col("image_id"),
+        when(col("ok"), col("content_id")).otherwise(col("image_id")).as("content_id")))
+  }
+
   /** Content store: one row of stored bytes per content cluster — the
     * representative's. Join instead of a window so `bytes` only flows
     * for the representative rows (semi-join prunes first). */
@@ -134,7 +171,8 @@ object RestoreOps {
     val sigs = DedupPipeline.signatures(images, cfg).persist(lvl)
     val cand = DedupPipeline.candidates(DedupPipeline.buckets(sigs, cfg), cfg)
     val (ver, cleanupMid, pairCount) = DedupPipeline.verifyWithCleanup(cand, sigs, images, cfg)
-    val cc = contentClusters(images, ver, cfg, Some(pairCount)).persist(lvl)
+    val cc0 = contentClusters(images, ver, cfg, Some(pairCount))
+    val cc = fidelityRepair(images, cc0, cfg).persist(lvl)
     cc.count()
     cleanupMid()
     sigs.unpersist(blocking = false)

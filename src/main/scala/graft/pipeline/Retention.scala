@@ -52,10 +52,17 @@ final class Retention(
     if (toDrop.isEmpty) return Report(Seq.empty, 0L, 0L,
       if (io.hasBatches(ImagesStore)) io.readBatches(ImagesStore).count() else 0L)
 
-    // the dropped-id set (read ONLY the dropped batch dirs, id column)
-    val dropIds = toDrop.map(r => io.readBatch(ImagesStore, r).select("image_id"))
+    // the dropped-id set (read ONLY the dropped batch dirs, id column).
+    // Materialized DURABLY before any dir is deleted: a cached-only
+    // copy whose blocks are lost AFTER the drop would recompute its
+    // lineage from paths that no longer exist and abort GC mid-way.
+    // The tmp name carries ".tmp-" so a crashed GC's copy is reclaimed
+    // by the same gcOrphans sweep as crashed publishes.
+    val dropTmp = s"$workDir/gc-dropids.tmp-$gcRunId"
+    toDrop.map(r => io.readBatch(ImagesStore, r).select("image_id"))
       .reduce(_ unionByName _).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .write.mode("overwrite").parquet(dropTmp)
+    val dropIds = spark.read.parquet(dropTmp)
     val droppedImages = dropIds.count()
 
     // D1 + D2: manifest-first batch drops from every batch-owned store
@@ -70,7 +77,7 @@ final class Retention(
       val pruned = edges
         .join(dropIds.withColumnRenamed("image_id", "id1"), Seq("id1"), "left_anti")
         .join(dropIds.withColumnRenamed("image_id", "id2"), Seq("id2"), "left_anti")
-        .select(edges.columns.map(col): _*)
+        .select(edges.columns.toIndexedSeq.map(col): _*)
       val before = edges.count()
       // rewrite only when something was actually reclaimed: the count
       // runs on pruned anyway (cheap — edge batches are small relative
@@ -100,7 +107,9 @@ final class Retention(
     } else if (io.exists(ClustersTable)) {
       io.drop(ClustersTable)
     }
-    dropIds.unpersist(blocking = false)
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dropTmp), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dropTmp), true)
     Report(toDrop, droppedImages, reclaimed, survivingCount)
   }
 

@@ -109,9 +109,11 @@ object CheckpointedPipeline {
     // loop's lineage cuts there too: an executor loss mid-CC then
     // resumes from the last reliable cut instead of recomputing the
     // label chain from round 0 (ConnectedComponents picks this up via
-    // sc.getCheckpointDir)
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(s"$workDir/rdd-checkpoints")
+    // sc.getCheckpointDir). Set UNCONDITIONALLY: the dir is session-
+    // global, and a second run in the same session with a different
+    // workDir must not write its "durable" cuts into the first run's
+    // workDir (which may be retired underneath it).
+    spark.sparkContext.setCheckpointDir(s"$workDir/rdd-checkpoints")
 
     val imagesDf = runner.stage("images")(images.toDF())
     def imagesDs = imagesDf.as[ImageRow]

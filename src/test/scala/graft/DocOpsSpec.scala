@@ -19,6 +19,18 @@ class DocOpsSpec extends AnyFunSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
 
+  test("connected components on long ids: numeric min labels, long output schema") {
+    import spark.implicits._
+    // regression: a string-upcast loop made the representative the
+    // LEXICOGRAPHIC min ("10" < "2") and changed cluster_id to string
+    val vertices = Seq(2L, 10L, 7L).toDF("id")
+    val edges = Seq((2L, 10L)).toDF("src", "dst")
+    val out = graft.cluster.ConnectedComponents.run(spark, vertices, edges)
+    assert(out.schema("component").dataType == org.apache.spark.sql.types.LongType)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 10L -> 2L, 7L -> 7L), s"got $got")
+  }
+
   test("minhash dedup clusters == brute-force jaccard clusters (recall >= 0.99, no false merges)") {
     val sh = docLocal.map { case (id, tx) => id -> Sig.shingleHashes(tx, cfg.shingleSize) }.toMap
     val ids = docLocal.map(_._1).sorted

@@ -46,6 +46,39 @@ class RestoreSpec extends AnyFunSuite {
     images.unpersist(); cc.unpersist()
   }
 
+  test("fidelity repair: PSNR chain below the gate is demoted, round trip stays clean") {
+    import spark.implicits._
+    import graft.signatures.Codec
+    // PSNR is not transitive: uniform per-channel offsets of 2 give
+    // psnr(a,b)=psnr(b,c)=10*log10(255^2/4)=42.1 >= 40 but
+    // psnr(a,c)=10*log10(255^2/16)=36.1 < 40 — each edge passes the
+    // gate, the chain does not.
+    val w = 8; val h = 8
+    def img(id: String, base: Int): graft.core.ImageRow = {
+      val px = Array.fill((w * h * 3))(base.toByte)
+      graft.core.ImageRow(id, Codec.encodePpm(w, h, px), w, h, "ppm", s"caption $id", 0L)
+    }
+    val a = img("a", 100); val b = img("b", 102); val c = img("c", 104)
+    assert(Codec.psnr(Codec.decode(a.bytes, "ppm"), Codec.decode(b.bytes, "ppm")) >= cfg.psnrMin)
+    assert(Codec.psnr(Codec.decode(b.bytes, "ppm"), Codec.decode(c.bytes, "ppm")) >= cfg.psnrMin)
+    assert(Codec.psnr(Codec.decode(a.bytes, "ppm"), Codec.decode(c.bytes, "ppm")) < cfg.psnrMin)
+    val images = Seq(a, b, c).toDS()
+    // connected components over the two passing edges put all three in
+    // one content cluster with representative "a"
+    val chained = Seq(("a", "a"), ("b", "a"), ("c", "a")).toDF("image_id", "content_id")
+    // unrepaired: restoring c from a violates the per-row gate
+    val restoredBad = RestoreOps.restore(
+      RestoreOps.recipes(images, chained), RestoreOps.contentStore(images, chained))
+    assert(RestoreOps.roundtripViolations(images, restoredBad, cfg).count() == 1)
+    // repaired: c is demoted to its own content cluster, b stays with a
+    val repaired = RestoreOps.fidelityRepair(images, chained, cfg)
+    val got = repaired.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "c"), s"got $got")
+    val restoredOk = RestoreOps.restore(
+      RestoreOps.recipes(images, repaired), RestoreOps.contentStore(images, repaired))
+    assert(RestoreOps.roundtripViolations(images, restoredOk, cfg).count() == 0)
+  }
+
   test("verifier catches a corrupted store (negative control)") {
     val images = CorpusGen.generate(spark, 20).cache()
     val sigs = DedupPipeline.signatures(images, cfg)
