@@ -47,13 +47,21 @@ object RestoreOps {
       cfg: DedupConfig = DedupConfig.default,
       edgeCountHint: Option[Long] = None): DataFrame = {
     val spark = images.sparkSession
-    val pixelEdges = verified
-      .filter(col("verdict").isin("exact", "pixel") || col("psnr") >= cfg.psnrMin)
-      .select(col("id1").as("src"), col("id2").as("dst"))
-    ConnectedComponents.run(spark, images.select(col("image_id").as("id")), pixelEdges,
-      edgeCountHint = edgeCountHint)
+    ConnectedComponents.run(spark, images.select(col("image_id").as("id")),
+      pixelEvidence(verified, cfg), edgeCountHint = edgeCountHint)
       .select(col("id").as("image_id"), col("component").as("content_id"))
   }
+
+  /** Pixel-evidence edges from the verify stage: byte/pixel-identical
+    * pairs (verdict exact/pixel) or pairs whose MEASURED decoded-pixel
+    * PSNR passes the gate — the verify stage records psnr for every
+    * hamming-close pair even when a cheaper predicate settled the
+    * verdict, so this is the complete set of edges whose fidelity is
+    * already established by measurement. */
+  def pixelEvidence(verified: Dataset[VerifiedPair], cfg: DedupConfig): DataFrame =
+    verified
+      .filter(col("verdict").isin("exact", "pixel") || col("psnr") >= cfg.psnrMin)
+      .select(col("id1").as("src"), col("id2").as("dst"))
 
   /** Fidelity repair: PSNR is NOT transitive, so connected components
     * over individually-passing edges can chain a member to a
@@ -64,17 +72,38 @@ object RestoreOps {
     * against its cluster representative and DEMOTE failures to their
     * own content cluster (they then restore from themselves), which
     * makes the per-row round-trip invariant hold BY CONSTRUCTION at
-    * any corpus. One extra id-pruned bytes join over non-singleton
-    * members — the same cost class as the verify stage's pixel pass. */
+    * any corpus.
+    *
+    * Cost: a member whose edge TO ITS REPRESENTATIVE is in
+    * `pixelEdges` needs no re-check — the restored bytes ARE the
+    * representative's bytes, so its round-trip PSNR equals the value
+    * the verify stage already measured on that edge (same
+    * decode+psnr path). Only transitively-chained members (connected
+    * to the representative through intermediates) pay the bytes join
+    * + double decode; in a pair/star-shaped pair stream that is a
+    * vanishing fraction, so the repair is two narrow id-only joins
+    * plus a decode pass over chain members only. Without `pixelEdges`
+    * every non-singleton member is checked (the conservative form). */
   def fidelityRepair(
       images: Dataset[ImageRow],
       cclusters: DataFrame,
-      cfg: DedupConfig): DataFrame = {
+      cfg: DedupConfig,
+      pixelEdges: Option[DataFrame] = None): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
     val members = cclusters.filter(col("image_id") =!= col("content_id"))
+    val (trusted, suspect) = pixelEdges match {
+      case Some(e) =>
+        // both orientations: the representative is the component min,
+        // so the measured edge may carry it as either endpoint
+        val dir = e.select(col("src").as("image_id"), col("dst").as("content_id"))
+          .unionByName(e.select(col("dst").as("image_id"), col("src").as("content_id")))
+        (members.join(dir, Seq("image_id", "content_id"), "left_semi"),
+          members.join(dir, Seq("image_id", "content_id"), "left_anti"))
+      case None => (members.limit(0), members)
+    }
     val px = images.select(col("image_id"), col("bytes"), col("fmt"))
-    val checked = members
+    val checked = suspect
       .join(px, "image_id")
       .join(px.select(col("image_id").as("content_id"),
         col("bytes").as("r_bytes"), col("fmt").as("r_fmt")), "content_id")
@@ -88,6 +117,7 @@ object RestoreOps {
       }
       .toDF("image_id", "content_id", "ok")
     cclusters.filter(col("image_id") === col("content_id"))
+      .unionByName(trusted)
       .unionByName(checked.select(col("image_id"),
         when(col("ok"), col("content_id")).otherwise(col("image_id")).as("content_id")))
   }
@@ -172,7 +202,7 @@ object RestoreOps {
     val cand = DedupPipeline.candidates(DedupPipeline.buckets(sigs, cfg), cfg)
     val (ver, cleanupMid, pairCount) = DedupPipeline.verifyWithCleanup(cand, sigs, images, cfg)
     val cc0 = contentClusters(images, ver, cfg, Some(pairCount))
-    val cc = fidelityRepair(images, cc0, cfg).persist(lvl)
+    val cc = fidelityRepair(images, cc0, cfg, Some(pixelEvidence(ver, cfg))).persist(lvl)
     cc.count()
     cleanupMid()
     sigs.unpersist(blocking = false)

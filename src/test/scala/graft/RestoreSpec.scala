@@ -77,6 +77,14 @@ class RestoreSpec extends AnyFunSuite {
     val restoredOk = RestoreOps.restore(
       RestoreOps.recipes(images, repaired), RestoreOps.contentStore(images, repaired))
     assert(RestoreOps.roundtripViolations(images, restoredOk, cfg).count() == 0)
+    // measured-edge fast path: with the verify stage's pixel edges
+    // supplied, b (direct a-b edge, PSNR already measured >= gate)
+    // skips the re-decode and c (chained through b, no a-c edge) is
+    // still checked and demoted — identical output to the full check
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val repairedFast = RestoreOps.fidelityRepair(images, chained, cfg, Some(edges))
+    val gotFast = repairedFast.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gotFast == got, s"fast path diverged: $gotFast vs $got")
   }
 
   test("verifier catches a corrupted store (negative control)") {
