@@ -92,15 +92,17 @@ object RestoreOps {
     val spark = images.sparkSession
     import spark.implicits._
     val members = cclusters.filter(col("image_id") =!= col("content_id"))
-    val (trusted, suspect) = pixelEdges match {
+    val suspect = pixelEdges match {
       case Some(e) =>
-        // both orientations: the representative is the component min,
-        // so the measured edge may carry it as either endpoint
-        val dir = e.select(col("src").as("image_id"), col("dst").as("content_id"))
-          .unionByName(e.select(col("dst").as("image_id"), col("src").as("content_id")))
-        (members.join(dir, Seq("image_id", "content_id"), "left_semi"),
-          members.join(dir, Seq("image_id", "content_id"), "left_anti"))
-      case None => (members.limit(0), members)
+        // the representative is the component MIN (same ordering as the
+        // pair stream's id1 < id2), so a measured member↔representative
+        // edge normalizes to (min → content_id, max → image_id)
+        // regardless of input orientation; member↔member edges map to a
+        // (content_id, image_id) no member row carries — harmless.
+        val dir = e.select(least(col("src"), col("dst")).as("content_id"),
+          greatest(col("src"), col("dst")).as("image_id"))
+        members.join(dir, Seq("image_id", "content_id"), "left_anti")
+      case None => members
     }
     val px = images.select(col("image_id"), col("bytes"), col("fmt"))
     val checked = suspect
@@ -116,10 +118,14 @@ object RestoreOps {
         }
       }
       .toDF("image_id", "content_id", "ok")
-    cclusters.filter(col("image_id") === col("content_id"))
-      .unionByName(trusted)
-      .unionByName(checked.select(col("image_id"),
-        when(col("ok"), col("content_id")).otherwise(col("image_id")).as("content_id")))
+    // demotions are the (rare) chain failures — override them with one
+    // id-only join instead of rebuilding the cluster table from three
+    // branches (each branch would recompute the cclusters subtree)
+    val demoted = checked.filter(!col("ok"))
+      .select(col("image_id"), lit(true).as("demoted"))
+    cclusters.join(demoted, Seq("image_id"), "left")
+      .select(col("image_id"),
+        when(col("demoted"), col("image_id")).otherwise(col("content_id")).as("content_id"))
   }
 
   /** Content store: one row of stored bytes per content cluster — the
