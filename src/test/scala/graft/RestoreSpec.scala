@@ -87,6 +87,46 @@ class RestoreSpec extends AnyFunSuite {
     assert(gotFast == got, s"fast path diverged: $gotFast vs $got")
   }
 
+  test("repair property: fast path == full check and round trip clean on random chain corpora") {
+    import spark.implicits._
+    import graft.signatures.Codec
+    // seeded random corpora of uniform-offset images: bases step by 2,
+    // so PSNR between offsets 2k is 10*log10(255^2/(2k)^2) — adjacent
+    // steps pass the 40 dB gate, distance >= 2 steps fails, making
+    // non-transitive chains the COMMON case rather than a planted one
+    val w = 6; val h = 6
+    def img(id: String, base: Int): graft.core.ImageRow = {
+      val px = Array.fill(w * h * 3)(base.toByte)
+      graft.core.ImageRow(id, Codec.encodePpm(w, h, px), w, h, "ppm", s"cap $id", 0L)
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 4 + rnd.nextInt(6)
+      val rows = (0 until n).map(i => img(f"d$i%02d", 80 + rnd.nextInt(6) * 2))
+      val pass = for {
+        i <- rows.indices; j <- rows.indices if i < j
+        if Codec.psnr(Codec.decode(rows(i).bytes, "ppm"),
+          Codec.decode(rows(j).bytes, "ppm")) >= cfg.psnrMin
+      } yield (rows(i).image_id, rows(j).image_id)
+      val images = rows.toDS()
+      val edges = pass.toDF("src", "dst")
+      val cc = graft.cluster.ConnectedComponents.run(spark,
+        images.select(col("image_id").as("id")), edges)
+        .select(col("id").as("image_id"), col("component").as("content_id"))
+        .localCheckpoint()
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val full = toMap(RestoreOps.fidelityRepair(images, cc, cfg))
+      val fast = toMap(RestoreOps.fidelityRepair(images, cc, cfg, Some(edges)))
+      assert(fast == full, s"seed=$seed: fast $fast != full $full")
+      val repaired = fast.toSeq.toDF("image_id", "content_id")
+      val restored = RestoreOps.restore(
+        RestoreOps.recipes(images, repaired), RestoreOps.contentStore(images, repaired))
+      assert(RestoreOps.roundtripViolations(images, restored, cfg).count() == 0,
+        s"seed=$seed: round trip violated after repair")
+    }
+  }
+
   test("verifier catches a corrupted store (negative control)") {
     val images = CorpusGen.generate(spark, 20).cache()
     val sigs = DedupPipeline.signatures(images, cfg)
