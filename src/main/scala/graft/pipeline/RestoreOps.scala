@@ -45,10 +45,20 @@ object RestoreOps {
       images: Dataset[ImageRow],
       verified: Dataset[VerifiedPair],
       cfg: DedupConfig = DedupConfig.default,
+      edgeCountHint: Option[Long] = None): DataFrame =
+    contentClustersFromEdges(images, pixelEvidence(verified, cfg), edgeCountHint)
+
+  /** [[contentClusters]] over an already-derived (and ideally
+    * persisted) pixel-evidence edge set — callers that also feed the
+    * same edges to [[fidelityRepair]] derive them ONCE so the verify
+    * stage's pair-decode pass doesn't re-execute per consumer. */
+  def contentClustersFromEdges(
+      images: Dataset[ImageRow],
+      pixelEdges: DataFrame,
       edgeCountHint: Option[Long] = None): DataFrame = {
     val spark = images.sparkSession
     ConnectedComponents.run(spark, images.select(col("image_id").as("id")),
-      pixelEvidence(verified, cfg), edgeCountHint = edgeCountHint)
+      pixelEdges, edgeCountHint = edgeCountHint)
       .select(col("id").as("image_id"), col("component").as("content_id"))
   }
 
@@ -94,11 +104,15 @@ object RestoreOps {
     val members = cclusters.filter(col("image_id") =!= col("content_id"))
     val suspect = pixelEdges match {
       case Some(e) =>
-        // the representative is the component MIN (same ordering as the
-        // pair stream's id1 < id2), so a measured member↔representative
-        // edge normalizes to (min → content_id, max → image_id)
-        // regardless of input orientation; member↔member edges map to a
-        // (content_id, image_id) no member row carries — harmless.
+        // the representative is the component MIN, so a measured
+        // member↔representative edge normalizes to (min → content_id,
+        // max → image_id) regardless of input orientation;
+        // member↔member edges map to a (content_id, image_id) no
+        // member row carries — harmless. least/greatest compare UTF8
+        // bytes while the CC min is JVM-string order — they agree on
+        // the ASCII ids this engine generates, and a disagreement
+        // (supplementary-plane ids) only MISSES a skip (the member is
+        // re-checked like the conservative path), never falsely skips.
         val dir = e.select(least(col("src"), col("dst")).as("content_id"),
           greatest(col("src"), col("dst")).as("image_id"))
         members.join(dir, Seq("image_id", "content_id"), "left_anti")
@@ -207,10 +221,15 @@ object RestoreOps {
     val sigs = DedupPipeline.signatures(images, cfg).persist(lvl)
     val cand = DedupPipeline.candidates(DedupPipeline.buckets(sigs, cfg), cfg)
     val (ver, cleanupMid, pairCount) = DedupPipeline.verifyWithCleanup(cand, sigs, images, cfg)
-    val cc0 = contentClusters(images, ver, cfg, Some(pairCount))
-    val cc = fidelityRepair(images, cc0, cfg, Some(pixelEvidence(ver, cfg))).persist(lvl)
+    // the edge set is consumed by BOTH the clustering and the repair's
+    // skip anti-join: persist it so the verify stage's pair-decode map
+    // executes exactly once (it is narrow — two id columns)
+    val edges = pixelEvidence(ver, cfg).persist(lvl)
+    val cc0 = contentClustersFromEdges(images, edges, Some(pairCount))
+    val cc = fidelityRepair(images, cc0, cfg, Some(edges)).persist(lvl)
     cc.count()
     cleanupMid()
+    edges.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
     cand.unpersist(blocking = false)
     val restored = restore(recipes(images, cc), contentStore(images, cc))
