@@ -68,7 +68,7 @@ object SparkEntry {
     "q_chunk_backup" -> ((s, d) => graft.ops.ChunkOps.chunkBackup(s, d)),
     "q_chunk_restore" -> ((s, d) => graft.ops.ChunkOps.chunkRestore(s, d)),
     "q_minhash_dedup" -> ((s, d) => TextOps.minhashDedup(s, d, cfg)),
-    "q_source_minhash" -> ((s, d) => TextOps.sourceMinhash(s, d, cfg)),
+    "q_source_minhash" -> ((s, d) => TextOps.sourceMinhashDigest(s, d, cfg)),
     "q_simhash_dedup" -> ((s, d) => TextOps.simhashDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardDedup(s, d)),
     "q_ngram_exact" -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
@@ -116,6 +116,14 @@ object SparkEntry {
         |  FROM cont WHERE size / 4096.0 < 0.8)
         |SELECT container_id, size FROM run, tot
         |WHERE CAST(cum AS DOUBLE) <= 0.01 * t""".stripMargin,
+    // U2 MinHash-merge UDAF: the query itself compares the UDAF result
+    // against an independent posexplode+min recompute and emits the
+    // scalar verdict, so the oracle is the constant merge_ok=1 per
+    // source (same invariant-as-constant pattern as q_roundtrip_verify;
+    // the raw array<bigint> column crashed the driver's pandas sort).
+    "q_source_minhash" ->
+      """SELECT source, count(*) AS n_docs, CAST(1 AS INTEGER) AS merge_ok
+        |FROM documents GROUP BY 1""".stripMargin,
     // Trace round-trip (S2): the replayed per-stream stats must equal
     // the same stats computed directly from the source table (distinct
     // sha1 fp == distinct text).

@@ -67,12 +67,21 @@ final class IncrementalDedup(
     import spark.implicits._
     require(!ingested.contains(runId), s"batch $runId already ingested")
     // crash-retry self-heal: SigStore is the COMMIT MARKER (appended
-    // last, and `ingested` is keyed on it), so a runId present in any
-    // other store without a SigStore entry is debris from a crashed
-    // attempt — drop it so the appendBatch uniqueness guards don't wedge
-    // the retry (destor equally replays an uncommitted jcr from scratch)
-    for (store <- Seq(EdgeStore, ImagesStore, PostStore))
-      if (io.batches(store).contains(runId)) io.dropBatch(store, runId)
+    // last, and `ingested` is keyed on it), so ANY runId present in
+    // another store without a SigStore entry is debris from a crashed
+    // attempt — not just the runId being retried: a crashed ingest
+    // retried under a DIFFERENT runId would otherwise leave orphan
+    // postings/images/edges that every later probe joins against
+    // (clusters could then include images from a batch that was never
+    // committed). Drop the full uncommitted set so the stores are
+    // exactly the SigStore commit set before this ingest begins
+    // (destor equally replays an uncommitted jcr from scratch).
+    locally {
+      val committed = ingested.toSet
+      for (store <- Seq(EdgeStore, ImagesStore, PostStore);
+           r <- io.batches(store) if !committed.contains(r))
+        io.dropBatch(store, r)
+    }
     val seq = ingested.length
 
     // 1. signatures + postings for the NEW batch only (narrow stages)
@@ -144,9 +153,16 @@ final class IncrementalDedup(
       sk.pairs.select(col("id1"), col("id2"), col("srcmask").as("srcbit"))
         .unionByName(crossRaw))
 
-    // 4. verify — old sides resolved from the STORES (no recompute):
-    //    signature store for captions/phash, image store for the
-    //    pixel-verify side-join (bytes read only for needPixel ids)
+    // 4. verify — old sides resolved from the STORES (no recompute),
+    //    PRUNED to the candidate ids FIRST: verify's shuffle_hash joins
+    //    exchange their full inputs, so feeding them the whole store
+    //    would cost O(|store|) per ingest even though the probe side is
+    //    beautifully bounded (destor's probe equally touches only hit
+    //    keys, src/index/index.c:181-204). A broadcast semi-join (the
+    //    same needIds pattern as verify's internal pixel prune) bounds
+    //    both verify sides by O(|cand|); above the broadcast threshold
+    //    (pathological candidate sets ~ corpus-sized) the shuffled
+    //    semi-join is the correct plan and AQE handles it.
     val allSigs =
       if (io.hasBatches(SigStore))
         newSigs.toDF().unionByName(io.readBatches(SigStore)).as[SignatureRow]
@@ -155,7 +171,13 @@ final class IncrementalDedup(
       if (io.hasBatches(ImagesStore))
         batch.toDF().unionByName(io.readBatches(ImagesStore)).as[ImageRow]
       else batch
-    val (ver, cleanupMid, _) = DedupPipeline.verifyWithCleanup(cand, allSigs, allImages, cfg)
+    val candM = cand.persist(lvl)
+    val candPairs = candM.count()
+    probeCleanup += (() => { candM.unpersist(blocking = false); () })
+    val (verSigs, verImages, cleanupPrune) =
+      IncrementalDedup.pruneToCandidates(candM, candPairs, allSigs, allImages)
+    probeCleanup += cleanupPrune
+    val (ver, cleanupMid, _) = DedupPipeline.verifyWithCleanup(candM, verSigs, verImages, cfg)
 
     // 5. commit this batch's verified edges, then read them BACK from
     //    the store (single materialization; CC consumes the checkpoint)
@@ -207,4 +229,39 @@ object IncrementalDedup {
   val EdgeStore = "edges_store"
   val ClustersTable = "clusters_current"
   val HarTable = "har_hot_buckets"
+
+  /** Ids (pairs * 2, or touched rows) at or below which the candidate
+    * id list broadcasts — the same order as verify's pixel needIds
+    * threshold; a long id is 8 bytes, so 4M ids is a ~32 MB build side. */
+  private[pipeline] val BroadcastIdLimit = 4000000L
+
+  /** Prune the verify-stage signature and image sides to the ids that
+    * appear in the candidate pairs: verify cost is then O(batch +
+    * touched), never O(store). Returns (prunedSigs, prunedImages,
+    * cleanup) — the pruned signature set is persisted (it feeds both
+    * verify caption joins AND the image-id derivation); call cleanup
+    * after the verified pairs are materialized. */
+  private[graft] def pruneToCandidates(
+      cand: DataFrame,
+      candPairs: Long,
+      allSigs: Dataset[SignatureRow],
+      allImages: Dataset[ImageRow]): (Dataset[SignatureRow], Dataset[ImageRow], () => Unit) = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val candIdsRaw = cand.select(col("id1").as("nid"))
+      .union(cand.select(col("id2").as("nid"))).distinct()
+    val candIds =
+      if (candPairs * 2 <= BroadcastIdLimit) broadcast(candIdsRaw) else candIdsRaw
+    val verSigs = allSigs.toDF().join(candIds, "nid").as[SignatureRow].persist(lvl)
+    // touched image ids come from the (already pruned, persisted)
+    // signature rows — O(|cand|), and counting it materializes the
+    // cache before verify's joins consume it twice
+    val nTouched = verSigs.count()
+    val touchedIds = verSigs.toDF().select("image_id")
+    val verImages = allImages.toDF().join(
+      if (nTouched <= BroadcastIdLimit) broadcast(touchedIds) else touchedIds,
+      "image_id").as[ImageRow]
+    (verSigs, verImages, () => { verSigs.unpersist(blocking = false); () })
+  }
 }

@@ -99,7 +99,7 @@ object TextOps extends Serializable {
 
   /** Segment-level MinHash via the merge UDAF (U2): one signature per
     * source from the per-doc signatures already computed — equal by the
-    * union property to re-shingling the whole source (DocOpsSpec
+    * union property to re-shingling the whole source (ContainerCflSpec
     * asserts it), with map-side combine so the shuffle carries one
     * K-long array per (source, partition). Pairwise source similarity
     * then costs a broadcast-size self-join (sources are few). */
@@ -112,6 +112,37 @@ object TextOps extends Serializable {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         graft.signatures.MinHashMerge.column(cfg.minhashK, col("sig")).as("sig"))
+  }
+
+  /** Driver-checkable form of [[sourceMinhash]]: the raw array<bigint>
+    * signature column is un-sortable by the driver's pandas harness, so
+    * the QUERY emits scalars only — per source, `n_docs` plus
+    * `merge_ok` = 1 iff the UDAF-merged signature equals an INDEPENDENT
+    * recompute (posexplode the per-doc signatures, min per position —
+    * the element-wise-min definition the Aggregator must implement,
+    * exercising zero/reduce/merge/map-side combine against a plain
+    * builtin aggregation). The DuckDB oracle is then the constant
+    * merge_ok=1 row per source — the q_roundtrip_verify pattern: the
+    * invariant holds at any corpus or it hash-mismatches. The union
+    * property (merged == re-shingled whole source) is separately
+    * proven exactly in ContainerCflSpec. */
+  def sourceMinhashDigest(spark: SparkSession, dir: String,
+      cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    val sigUdf = udf((text: String) =>
+      Sig.minhash(Sig.shingleHashes(text, cfg.shingleSize), cfg))
+    val perDoc = docs(spark, dir)
+      .select(col("source"), sigUdf(col("text")).as("sig"))
+    val merged = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.signatures.MinHashMerge.column(cfg.minhashK, col("sig")).as("merged"))
+    val alt = perDoc
+      .select(col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
+      .groupBy("source", "pos").agg(min("v").as("mv"))
+      .groupBy("source")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)").as("alt"))
+    merged.join(alt, "source")
+      .select(col("source"), col("n_docs"),
+        (col("merged") === col("alt")).cast("int").as("merge_ok"))
   }
 
   /** Whitespace token count per doc (codegen'd builtins only). */

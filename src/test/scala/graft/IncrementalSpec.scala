@@ -89,6 +89,68 @@ class IncrementalSpec extends AnyFunSuite {
     corpus.unpersist(); parts.foreach(_.unpersist())
   }
 
+  test("crash debris under a DIFFERENT runId is dropped at the next ingest (SigStore commit set is authoritative)") {
+    val dir = Files.createTempDirectory("graft-incr-heal").toString
+    val corpus = CorpusGen.generate(spark, 8).cache()
+    corpus.count()
+    val idNum = substring(col("image_id"), 4, 10).cast("long")
+    val batchA = corpus.filter(idNum % 2 === 0).cache()
+    val batchB = corpus.filter(idNum % 2 === 1).cache()
+
+    val inc = new IncrementalDedup(spark, dir, cfg)
+    inc.ingest(batchA, "r1")
+
+    // simulate a crashed ingest of B that died AFTER the images/postings
+    // appends but BEFORE the SigStore commit marker — and is then
+    // retried under a DIFFERENT runId (the ADVICE round-2 hole: debris
+    // keyed by the crashed id was previously only healed when the retry
+    // reused the same id)
+    val crashedSigs = DedupPipeline.signatures(batchB, cfg)
+    val crashedPost = DedupPipeline.buckets(crashedSigs, cfg)
+      .toDF().withColumn("ingest_seq", lit(1))
+    inc.io.appendBatch(batchB.toDF(), IncrementalDedup.ImagesStore, "crashX")
+    inc.io.appendBatch(crashedPost, IncrementalDedup.PostStore, "crashX")
+    assert(inc.io.batches(IncrementalDedup.PostStore).contains("crashX"))
+
+    val merged = inc.ingest(batchB, "r2")
+    // the orphan batch is gone from every store
+    for (s <- Seq(IncrementalDedup.ImagesStore, IncrementalDedup.PostStore,
+        IncrementalDedup.EdgeStore))
+      assert(!inc.io.batches(s).contains("crashX"), s"store $s kept debris")
+    // and the result equals the clean one-shot (no phantom postings
+    // doubled pairs, no images from an uncommitted batch)
+    val oneShot = DedupPipeline.run(corpus, cfg)
+      .collect().map(r => (r.image_id, r.cluster_id)).sorted.toSeq
+    val got = merged.select("image_id", "cluster_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == oneShot)
+    assert(inc.io.readBatches(IncrementalDedup.ImagesStore).count() == corpus.count())
+
+    corpus.unpersist(); batchA.unpersist(); batchB.unpersist()
+  }
+
+  test("verify-side store inputs are bounded by the candidate ids (broadcast prune, O(cand) not O(store))") {
+    val corpus = CorpusGen.generate(spark, 6).cache()
+    val sigs = DedupPipeline.signatures(corpus, cfg).cache()
+    val nStore = sigs.count()
+    val ids = sigs.collect().map(_.nid).distinct.sorted.take(4)
+    val cand = Seq((ids(0), ids(1), 3, "exact"), (ids(2), ids(3), 2, "minhash"))
+      .toDF("id1", "id2", "srcmask", "src")
+    val (vs, vi, cleanup) = IncrementalDedup.pruneToCandidates(cand, 2L, sigs, corpus)
+    // the signature side verify sees is exactly the candidate-touched
+    // rows — a 6-group store contributes 4 rows, not nStore
+    assert(nStore > 4)
+    assert(vs.count() == 4)
+    assert(vs.collect().map(_.nid).toSet == ids.toSet)
+    // the image side likewise, and its physical plan joins a BROADCAST
+    // of the touched ids — the image store is never hash-exchanged
+    assert(vi.count() == 4)
+    val plan = vi.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast prune, got:\n$plan")
+    cleanup()
+    corpus.unpersist(); sigs.unpersist()
+  }
+
   test("re-ingesting a committed batch id is rejected") {
     val dir = Files.createTempDirectory("graft-incr-dup").toString
     val inc = new IncrementalDedup(spark, dir, cfg)
