@@ -280,14 +280,39 @@ object SparkEntry {
         | md5(array_to_string(list_sort(list_distinct(
         |   string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
         |FROM documents""".stripMargin,
+    // Substring-containment dups under the df-prune: the oracle mirrors
+    // the ENGINE's portable winnowing selection exactly — md5 char-gram
+    // hashes, window-min-of-w fingerprints over full windows only, and
+    // the same HAVING df <= cap prune — so engine and oracle drop the
+    // SAME boilerplate-hot fingerprints and the query stays both
+    // hash-matched and bounded (the round-2 uncapped expander is gone).
     "q_substr_dups" ->
-      s"""SELECT a.doc_id AS id1, b.doc_id AS id2
-        |FROM documents a JOIN documents b
-        | ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE (length(lower(a.text)) >= ${cfg.substrMinChars}
-        |   AND contains(lower(b.text), lower(a.text)) AND lower(a.text) <> lower(b.text))
-        |   OR (length(lower(b.text)) >= ${cfg.substrMinChars}
-        |   AND contains(lower(a.text), lower(b.text)) AND lower(a.text) <> lower(b.text))""".stripMargin,
+      s"""WITH d AS (
+        |  SELECT doc_id, source, lower(text) AS t FROM documents
+        |  WHERE length(lower(text)) >= ${cfg.substrMinChars}),
+        |g AS (
+        |  SELECT doc_id, source, i, md5(substring(t, i, ${cfg.substrGram})) AS gh
+        |  FROM (SELECT doc_id, source, t,
+        |          unnest(generate_series(1, length(t) - ${cfg.substrGram - 1})) AS i
+        |        FROM d)),
+        |w AS (
+        |  SELECT doc_id, source, i,
+        |    min(gh) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND ${cfg.substrWindow - 1} FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM g),
+        |f AS (SELECT DISTINCT doc_id, source, fp FROM w
+        |      WHERE i <= ng - ${cfg.substrWindow} + 1),
+        |s AS (SELECT source, fp FROM f GROUP BY 1, 2
+        |      HAVING count(*) <= ${cfg.substrDfCap}),
+        |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM f a JOIN f b ON a.source = b.source AND a.fp = b.fp
+        |        AND a.doc_id < b.doc_id
+        |      JOIN s ON s.source = a.source AND s.fp = a.fp)
+        |SELECT DISTINCT p.id1, p.id2
+        |FROM p JOIN d da ON da.doc_id = p.id1 JOIN d db ON db.doc_id = p.id2
+        |WHERE (contains(db.t, da.t) AND da.t <> db.t)
+        |   OR (contains(da.t, db.t) AND da.t <> db.t)""".stripMargin,
     "q_cfl_rewrite" ->
       """WITH canon AS (
         |  SELECT md5(text) AS k, min(doc_id) AS canonical_id FROM documents GROUP BY 1),

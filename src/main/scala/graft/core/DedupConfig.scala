@@ -52,6 +52,15 @@ final case class DedupConfig(
     // 39 chars, still well under typical caption/document lengths.
     substrGram: Int = 16, // char k-gram size
     substrWindow: Int = 24, // winnowing window w; guarantee length = w+gram-1
+    // document-frequency cap on winnowing-fingerprint postings in the
+    // SUBSTRING-DEDUP text query (TextOps.substrDedup): fingerprints
+    // shared by more than this many docs (per source) are dropped
+    // BEFORE pairing, on the engine AND its oracle identically — the
+    // CAP-capping analog for the one family whose oracle is exact
+    // all-pairs (a boilerplate mega-bucket is otherwise O(n²) pairs).
+    // Recall loss is confined to pairs whose ONLY shared fingerprints
+    // are boilerplate-hot; the knob is the documented scale control.
+    substrDfCap: Int = 64,
     // --- skew handling (CAP/CBR/HAR analogs, src/cap_rewrite.c / src/cbr_rewrite.c) ---
     bucketCap: Int = 64, // all-pairs floor: CBR raises the EFFECTIVE cap to the skewQuantile-quantile of bucket sizes (SkewControl.adaptiveCap); star-pairs above (CAP, R4)
     skewQuantile: Double = 0.99, // bucket-size quantile that defines a "hot" bucket (CBR, A4/R3)

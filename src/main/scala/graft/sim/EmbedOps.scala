@@ -63,6 +63,18 @@ object EmbedOps {
       }
     }
 
+  /** Exact cosine over two primitive vectors, rounded to 6 decimals
+    * HALF_UP — shared by BOTH re-rank paths so the gated plan switch
+    * can never flip a rank (bit-identical accumulation order). */
+  private def cosRounded(va: Array[Double], vb: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var x = 0
+    val n = math.min(va.length, vb.length)
+    while (x < n) { dot += va(x) * vb(x); na += va(x) * va(x); nb += vb(x) * vb(x); x += 1 }
+    BigDecimal(dot / math.sqrt(na * nb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** ANN via multi-table hyperplane LSH + exact cosine re-rank.
     *
     * L independent tables of kBits hyperplane signs each: a neighbor at
@@ -73,9 +85,18 @@ object EmbedOps {
     * knob: at n vectors, expected bucket size is n/2^kBits, so raise
     * kBits with log2(n) to hold candidate cost at
     * ~L * n * bucket << n^2. Candidates are deduped across tables
-    * before the (expensive) exact re-rank. */
+    * before the (expensive) exact re-rank.
+    *
+    * Re-rank plan is SIZE-GATED on the corpus row count (the verify
+    * `needIds` pattern): at or below `maxBroadcastVectors` the vector
+    * table broadcasts and the dedup+re-rank+top-k runs in ONE shuffle
+    * of id-only pairs; above it the vectors are resolved by
+    * CO-PARTITIONED shuffle-hash joins on vec_id/neighbor_id — shuffle
+    * bytes grow by the vector payload, but nothing ever collects to
+    * the driver, so the path has no memory ceiling at corpus scale. */
   def annTopK(spark: SparkSession, dir: String, k: Int = 5,
-      tables: Int = 16, kBits: Int = 4): DataFrame = {
+      tables: Int = 16, kBits: Int = 4,
+      maxBroadcastVectors: Long = 1000000L): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -114,70 +135,89 @@ object EmbedOps {
     val rawPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select("vec_id", "neighbor_id")
-    // Dedup-across-tables + exact re-rank + top-k in ONE shuffle: the
-    // raw (multi-table, duplicated) candidate stream is partitioned by
-    // vec_id and sorted, then a linear scan per vector dedups neighbors
-    // with a hash set, computes cosine as a primitive double loop over
-    // broadcast vectors, and keeps a bounded k-heap. Round 1 ran this
-    // as distinct + two vector-carrying joins + interpreted `aggregate`
-    // lambdas + a window rank — three exchanges and ~8 s at 2.5k
-    // vectors; this is one exchange and no vector ever enters a
-    // shuffle. The broadcast is the same side-table pattern Catalyst
-    // picks for a dim join; for corpora too big to broadcast,
-    // co-partition vectors on vec_id and join — the banding math is
-    // unchanged (kBits already scales bucket sizes with log2 n).
-    val vecB = spark.sparkContext.broadcast(
-      e.as[(Long, Array[Double])].collect().toMap)
-    rawPairs
-      .repartition(col("vec_id"))
-      .sortWithinPartitions("vec_id") // single long key -> radix sort
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val m = vecB.value
-        def cos(i: Long, j: Long): Double = {
-          val va = m(i); val vb = m(j)
-          var dot = 0.0; var na = 0.0; var nb = 0.0
-          var x = 0
-          val n = math.min(va.length, vb.length)
-          while (x < n) { dot += va(x) * vb(x); na += va(x) * va(x); nb += vb(x) * vb(x); x += 1 }
-          BigDecimal(dot / math.sqrt(na * nb))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        }
-        graft.ops.PairGen.groupRuns[Long, (Long, Long, Int, Double)](
-          it.map { case (v, nb) => (0, v, nb, 0L) },
-          (_, vecId, neighbors, _) => {
-            // sort neighbors locally (cheaper than a comparator-driven
-            // shuffle sort); dedup is then a linear uniq, top-k a
-            // bounded insertion into a k-sized array (k is tiny)
-            java.util.Arrays.sort(neighbors)
-            val topN = new Array[Long](k)
-            val topC = new Array[Double](k)
-            var filled = 0
-            var prev = Long.MinValue
-            var i = 0
-            while (i < neighbors.length) {
-              val nb = neighbors(i)
-              if (nb != prev) {
-                prev = nb
-                val c = cos(vecId, nb)
-                // insertion position by (cos desc, neighbor asc)
-                var p = filled
-                while (p > 0 && (topC(p - 1) < c || (topC(p - 1) == c && topN(p - 1) > nb))) p -= 1
-                if (p < k) {
-                  val last = math.min(filled, k - 1)
-                  var q = last
-                  while (q > p) { topN(q) = topN(q - 1); topC(q) = topC(q - 1); q -= 1 }
-                  topN(p) = nb; topC(p) = c
-                  if (filled < k) filled += 1
+    // count() on the narrow scan gates the plan choice; the scan reads
+    // no vector payload (column pruning leaves vec_id only)
+    val nVecs = emb(spark, dir).select("vec_id").count()
+    if (nVecs <= maxBroadcastVectors) {
+      // FAST PATH (corpus fits one executor's memory comfortably):
+      // dedup-across-tables + exact re-rank + top-k in ONE shuffle: the
+      // raw (multi-table, duplicated) candidate stream is partitioned by
+      // vec_id and sorted, then a linear scan per vector dedups neighbors
+      // with a hash set, computes cosine as a primitive double loop over
+      // broadcast vectors, and keeps a bounded k-heap. Round 1 ran this
+      // as distinct + two vector-carrying joins + interpreted `aggregate`
+      // lambdas + a window rank — three exchanges and ~8 s at 2.5k
+      // vectors; this is one exchange and no vector ever enters a
+      // shuffle. The broadcast is the same side-table pattern Catalyst
+      // picks for a dim join.
+      val vecB = spark.sparkContext.broadcast(
+        e.as[(Long, Array[Double])].collect().toMap)
+      rawPairs
+        .repartition(col("vec_id"))
+        .sortWithinPartitions("vec_id") // single long key -> radix sort
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val m = vecB.value
+          graft.ops.PairGen.groupRuns[Long, (Long, Long, Int, Double)](
+            it.map { case (v, nb) => (0, v, nb, 0L) },
+            (_, vecId, neighbors, _) => {
+              // sort neighbors locally (cheaper than a comparator-driven
+              // shuffle sort); dedup is then a linear uniq, top-k a
+              // bounded insertion into a k-sized array (k is tiny)
+              java.util.Arrays.sort(neighbors)
+              val topN = new Array[Long](k)
+              val topC = new Array[Double](k)
+              var filled = 0
+              var prev = Long.MinValue
+              var i = 0
+              while (i < neighbors.length) {
+                val nb = neighbors(i)
+                if (nb != prev) {
+                  prev = nb
+                  val c = cosRounded(m(vecId), m(nb))
+                  // insertion position by (cos desc, neighbor asc)
+                  var p = filled
+                  while (p > 0 && (topC(p - 1) < c || (topC(p - 1) == c && topN(p - 1) > nb))) p -= 1
+                  if (p < k) {
+                    val last = math.min(filled, k - 1)
+                    var q = last
+                    while (q > p) { topN(q) = topN(q - 1); topC(q) = topC(q - 1); q -= 1 }
+                    topN(p) = nb; topC(p) = c
+                    if (filled < k) filled += 1
+                  }
                 }
+                i += 1
               }
-              i += 1
-            }
-            (0 until filled).iterator.map(r => (vecId, topN(r), r + 1, topC(r)))
-          },
-          minRun = 1) // a vector with a single candidate still gets its rk=1 row
-      }
-      .toDF("vec_id", "neighbor_id", "rk", "cos")
+              (0 until filled).iterator.map(r => (vecId, topN(r), r + 1, topC(r)))
+            },
+            minRun = 1) // a vector with a single candidate still gets its rk=1 row
+        }
+        .toDF("vec_id", "neighbor_id", "rk", "cos")
+    } else {
+      // SCALE PATH (corpus too big to broadcast): vectors stay
+      // DISTRIBUTED and are resolved per pair side by co-partitioned
+      // shuffle-hash equi-joins — at 10^12 rows each join hash-exchanges
+      // pairs and vectors on the same key, no driver collect, no
+      // broadcast build. Pair dedup first (groupBy, narrow id rows) so
+      // the vector payload rides only the DEDUPED pair stream (~1/L of
+      // the raw one); cosine runs in the same primitive loop as the
+      // fast path, and the final top-k is a window over narrow
+      // (vec_id, neighbor_id, cos) rows — ranks identical to the fast
+      // path by the shared rounding + (cos desc, neighbor asc) order.
+      val dd = rawPairs.groupBy("vec_id", "neighbor_id").agg(lit(1)).select("vec_id", "neighbor_id")
+      val scored = dd
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb")).hint("shuffle_hash"), "neighbor_id")
+        .join(e.select(col("vec_id"), col("v").as("va")).hint("shuffle_hash"), "vec_id")
+        .select(col("vec_id"), col("neighbor_id"), col("va"), col("vb"))
+        .as[(Long, Long, Array[Double], Array[Double])]
+        .mapPartitions(_.map { case (v, nb, va, vb) => (v, nb, cosRounded(va, vb)) })
+        .toDF("vec_id", "neighbor_id", "cos")
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select("vec_id", "neighbor_id", "rk", "cos")
+    }
   }
 
   /** Label-centroid assignment: mean vector per label, then each

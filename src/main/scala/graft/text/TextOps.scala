@@ -372,32 +372,68 @@ object TextOps extends Serializable {
   }
 
   /** Exact substring-containment dups WITHIN each source shard:
-    * winnowing postings guarantee recall for contained texts >=
-    * substrMinChars; verified with a real `contains`. Returns
-    * (id1, id2) where one text contains the other.
+    * winnowing fingerprints (Schleimer et al. SIGMOD'03) guarantee a
+    * shared fingerprint for any contained text >= substrMinChars;
+    * candidates are verified with a real `contains`. Returns (id1, id2)
+    * where one text contains the other.
     *
-    * This query has an EXACT all-pairs oracle, so the pair expansion
-    * runs uncapped (a round-1 cap of 256 silently dropped true pairs
-    * whenever a shared-boilerplate fingerprint bucket exceeded it);
-    * memory stays bounded because the expander streams — the only
-    * buffer is one bucket's id array, and winnowing gram/window sizes
-    * are tuned (DedupConfig) so natural corpora don't produce
-    * mega-buckets. The capped form is the LSH family above. */
+    * BOUNDED BY CONSTRUCTION: fingerprint postings with document
+    * frequency > cfg.substrDfCap (per source) are dropped BEFORE
+    * pairing — destor's CAP capping recast as a df-prune — so one
+    * boilerplate mega-bucket can no longer force O(n²) pair expansion
+    * (the round-2 weakness: the exact oracle required an uncapped
+    * expander). To keep the query hash-matched under the prune, the
+    * whole selection is expressed in engine-portable primitives —
+    * md5(char-16-gram) hashes, window-min-of-24 winnowing selection,
+    * HAVING count(*) <= cap — and the DuckDB oracle applies the
+    * IDENTICAL prune, so engine and oracle drop exactly the same
+    * pairs. Recall loss is confined to pairs whose every shared
+    * fingerprint is boilerplate-hot (DocOpsSpec plants one and checks
+    * equality against a local brute force of the same semantics).
+    *
+    * Scale shape: all-builtin narrow gram/winnow stages (one window
+    * shuffle per doc partition), a (source,fp) df window, then the
+    * shared streamed expander over buckets whose size the prune bounds
+    * at dfCap — pair volume is O(postings * dfCap) worst case. */
   def substrDedup(spark: SparkSession, dir: String, cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = cfg.substrGram
+    val w = cfg.substrWindow
+    // only docs long enough to BE contained (or to contain one) emit
+    // postings: a qualifying pair's contained side is >= minChars and
+    // its container is at least as long, so shorter docs are inert
     val d = docs(spark, dir)
-    val win = udf((text: String) => Sig.captionFingerprints(text, cfg.substrGram, cfg.substrWindow))
-    // band by source so candidates stay shard-local (matches the oracle)
-    val postings = d.select(col("doc_id"), col("source"),
-        explode(win(lower(col("text")))).as("bucket"))
-      .select(col("doc_id"), hash(col("source")).as("band"), col("bucket"))
-    val cand = bucketPairs(postings, Int.MaxValue)
-    val t1 = d.select(col("doc_id").as("id1"), lower(col("text")).as("tx1"), col("source").as("src1"))
-    val t2 = d.select(col("doc_id").as("id2"), lower(col("text")).as("tx2"), col("source").as("src2"))
+      .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= cfg.substrMinChars)
+    // char k-grams at every position (0-based p), hashed portably
+    val grams = d.select(col("doc_id"), col("source"),
+      posexplode(expr(s"transform(sequence(1, length(t) - ${g - 1}), i -> md5(substring(t, i, $g)))"))
+        .as(Seq("p", "gh")))
+    // winnowing: min gram-hash of each FULL w-window (p <= ng - w);
+    // length >= minChars guarantees at least one full window
+    val winW = Window.partitionBy("doc_id").orderBy("p").rowsBetween(Window.currentRow, w - 1)
+    val cntW = Window.partitionBy("doc_id")
+    val fps = grams
+      .withColumn("fp", min("gh").over(winW))
+      .withColumn("ng", count(lit(1)).over(cntW))
+      .filter(col("p") <= col("ng") - w)
+      .select("doc_id", "source", "fp").distinct()
+    // df-prune per (source, fp) — the oracle's HAVING count(*) <= cap
+    val dfW = Window.partitionBy("source", "fp")
+    val postings = fps
+      .withColumn("df", count(lit(1)).over(dfW))
+      .filter(col("df") <= cfg.substrDfCap)
+      .select(col("doc_id"), col("source").as("band"), col("fp").as("bucket"))
+    // buckets are <= dfCap members post-prune, so the expander is
+    // all-pairs everywhere (the cap argument is just its buffer bound)
+    val cand = graft.ops.PairGen.bucketPairsLong(postings, cfg.substrDfCap)
+    val t1 = d.select(col("doc_id").as("id1"), col("t").as("tx1"), col("source").as("src1"))
+    val t2 = d.select(col("doc_id").as("id2"), col("t").as("tx2"), col("source").as("src2"))
     cand.join(t1, "id1").join(t2, "id2")
       .filter(col("src1") === col("src2"))
       .filter(
-        (length(col("tx1")) >= cfg.substrMinChars && col("tx2").contains(col("tx1")) && col("tx1") =!= col("tx2")) ||
-        (length(col("tx2")) >= cfg.substrMinChars && col("tx1").contains(col("tx2")) && col("tx1") =!= col("tx2")))
+        (col("tx2").contains(col("tx1")) && col("tx1") =!= col("tx2")) ||
+        (col("tx1").contains(col("tx2")) && col("tx1") =!= col("tx2")))
       .select("id1", "id2")
   }
 }

@@ -122,6 +122,71 @@ class DocOpsSpec extends AnyFunSuite {
     assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("substring dedup df-prune: planted mega-bucket is pruned identically to a same-semantics brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val tcfg = cfg.copy(substrDfCap = 8)
+
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    // same selection as the engine/oracle: md5 char-grams, min of each
+    // FULL w-window
+    def winnowFps(t: String, g: Int, w: Int): Set[String] = {
+      if (t.length < g + w - 1) return Set.empty
+      val grams = (0 to t.length - g).map(i => md5hex(t.substring(i, i + g)))
+      (0 to grams.length - w).map(p => grams.slice(p, p + w).min).toSet
+    }
+
+    val boiler = "standard legal disclaimer text that appears verbatim in every scraped page of this site " * 2
+    val inner = "a genuinely unique sentence long enough to be a contained document here"
+    val docs0 = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    // mega bucket: 20 docs sharing a long boilerplate prefix (every
+    // prefix fingerprint has df=21 > cap), unique tails, no containment
+    for (i <- 0 until 20)
+      docs0 += ((100L + i,
+        boiler + s" unique tail number $i " + (('a' + i).toChar.toString * 45)))
+    // genuine containment pair with unique (cold) shared fingerprints
+    docs0 += ((300L, inner))
+    docs0 += ((301L, "prefix words before " + inner + " and suffix words after"))
+    // contained doc whose EVERY fingerprint is boilerplate-hot: its
+    // containment pairs are dropped by the prune on BOTH sides
+    docs0 += ((400L, boiler))
+
+    val dirT = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    docs0.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dirT/documents.parquet")
+
+    val got = TextOps.substrDedup(spark, dirT, tcfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val longDocs = docs0.toSeq.filter(_._2.length >= tcfg.substrMinChars)
+      .map { case (id, tx) => (id, tx.toLowerCase) }
+    val fps = longDocs.map { case (id, t) =>
+      id -> winnowFps(t, tcfg.substrGram, tcfg.substrWindow) }.toMap
+    val df = fps.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val kept = fps.view.mapValues(_.filter(fp => df(fp) <= tcfg.substrDfCap)).toMap
+    val want = (for {
+      i <- longDocs.indices.iterator
+      j <- (i + 1) until longDocs.length
+      (id1, t1) = longDocs(i)
+      (id2, t2) = longDocs(j)
+      if kept(id1).intersect(kept(id2)).nonEmpty
+      if (t2.contains(t1) || t1.contains(t2)) && t1 != t2
+    } yield (math.min(id1, id2), math.max(id1, id2))).toSet
+
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // the cold containment pair survives the prune
+    assert(got.contains((300L, 301L)))
+    // hot-only containments are pruned — consistently on both sides
+    assert(!got.exists(p => p._1 == 400L || p._2 == 400L))
+    // and the planted mega bucket contributes zero pairs
+    assert(!got.exists(p => p._1 >= 100L && p._2 < 120L))
+  }
+
   test("ANN recall@5 vs brute-force cosine top-5") {
     val bf = EmbedOps.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -136,6 +201,18 @@ class DocOpsSpec extends AnyFunSuite {
     // this corpus is near-random (top-5 cos ~0.23-0.48) — the hardest
     // ANN regime; L=16 tables x 4 bits targets ~0.85 analytic recall
     assert(mean >= 0.7, s"ANN recall too low: $mean")
+  }
+
+  test("ANN scale path (co-partitioned join re-rank) == broadcast path, with no driver collect") {
+    // force the join path by setting the broadcast gate below the corpus
+    val joinPath = EmbedOps.annTopK(spark, dir, maxBroadcastVectors = 0L)
+    val plan = joinPath.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected co-partitioned joins, got:\n$plan")
+    val got = joinPath.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted.toSeq
+    val want = EmbedOps.annTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted.toSeq
+    assert(got == want)
   }
 
   test("nearest centroid matches exact local recomputation") {
