@@ -196,21 +196,42 @@ object RestoreOps {
   /** One-row fidelity report: restore coverage + violation counts —
     * the analog of destor's restore.log line (src/do_restore.c:267-283).
     * On a correct store: all_restored=1, psnr_violations=0,
-    * caption_violations=0 at ANY corpus size. */
+    * caption_violations=0 at ANY corpus size.
+    *
+    * ONE job: a left join from originals to restored rows feeds a
+    * single decode+verify pass that also counts coverage (a missing
+    * restored row is a null right side), replacing the round-2 shape
+    * of two standalone count actions + a separate violations
+    * aggregation (three jobs, two of them re-reading `restored`). */
   def roundtripReport(
       images: Dataset[ImageRow],
       restored: DataFrame,
-      violations: DataFrame): DataFrame = {
-    val n = images.count()
-    val r = restored.select("image_id").distinct().count()
-    violations
-      .agg(
-        sum(when(!col("psnr_ok"), 1L).otherwise(0L)).as("pv"),
-        sum(when(!col("caption_ok"), 1L).otherwise(0L)).as("cv"))
+      cfg: DedupConfig): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes").as("o_bytes"), col("fmt").as("o_fmt"),
+        col("caption").as("o_caption"))
+      .join(restored.select(col("image_id"), col("bytes").as("r_bytes"),
+        col("fmt").as("r_fmt"), col("caption").as("r_caption")), Seq("image_id"), "left")
+      .select("o_bytes", "o_fmt", "o_caption", "r_bytes", "r_fmt", "r_caption")
+      .as[(Array[Byte], String, String, Array[Byte], String, String)]
+      .mapPartitions { it =>
+        var pv = 0L; var cv = 0L; var missing = 0L
+        it.foreach { case (ob, of, oc, rb, rf, rc) =>
+          if (rb == null) missing += 1
+          else {
+            if (Codec.psnr(Codec.decode(ob, of), Codec.decode(rb, rf)) < cfg.psnrMin) pv += 1
+            if (oc != rc) cv += 1
+          }
+        }
+        Iterator((pv, cv, missing))
+      }
+      .toDF("pv", "cv", "missing")
+      .agg(sum("pv").as("pv"), sum("cv").as("cv"), sum("missing").as("m"))
       .select(
         coalesce(col("pv"), lit(0L)).as("psnr_violations"),
         coalesce(col("cv"), lit(0L)).as("caption_violations"),
-        lit(if (n == r) 1L else 0L).as("all_restored"))
+        when(coalesce(col("m"), lit(0L)) === 0L, 1L).otherwise(0L).as("all_restored"))
   }
 
   /** Whole restore + verify round trip on top of a finished pipeline
@@ -233,8 +254,7 @@ object RestoreOps {
     sigs.unpersist(blocking = false)
     cand.unpersist(blocking = false)
     val restored = restore(recipes(images, cc), contentStore(images, cc))
-    val report = roundtripReport(images, restored,
-      roundtripViolations(images, restored, cfg)).localCheckpoint()
+    val report = roundtripReport(images, restored, cfg).localCheckpoint()
     cc.unpersist(blocking = false)
     report
   }

@@ -70,24 +70,13 @@ final class Retention(
       if (io.batches(store).contains(r)) io.dropBatch(store, r)
 
     // D3: compact surviving edge batches that reference dropped ids
-    // (cross-batch pairs discovered by a LATER, surviving ingest)
-    var reclaimed = 0L
-    for (r <- io.batches(EdgeStore)) {
-      val edges = io.readBatch(EdgeStore, r)
-      val pruned = edges
-        .join(dropIds.withColumnRenamed("image_id", "id1"), Seq("id1"), "left_anti")
-        .join(dropIds.withColumnRenamed("image_id", "id2"), Seq("id2"), "left_anti")
-        .select(edges.columns.toIndexedSeq.map(col): _*)
-      val before = edges.count()
-      // rewrite only when something was actually reclaimed: the count
-      // runs on pruned anyway (cheap — edge batches are small relative
-      // to data), and an untouched batch keeps its files byte-identical
-      val after = pruned.count()
-      if (after != before) {
-        io.rewriteBatch(pruned, EdgeStore, r)
-        reclaimed += before - after
-      }
-    }
+    // (cross-batch pairs discovered by a LATER, surviving ingest) —
+    // ONE anti-join job over the batch-union with the batch id as a
+    // column, instead of the round-2 per-batch count+count+rewrite loop
+    // (thousands of ingest batches meant thousands of serial Spark
+    // jobs). Only touched batches are rewritten; untouched batch dirs
+    // stay byte-identical.
+    val reclaimed = compactEdges(dropIds, gcRunId)
 
     // recompute clusters over the surviving corpus
     val surviving =
@@ -111,6 +100,43 @@ final class Retention(
       new java.net.URI(dropTmp), spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(dropTmp), true)
     Report(toDrop, droppedImages, reclaimed, survivingCount)
+  }
+
+  /** D3 edge-store compaction against a dropped-id set, batch-count
+    * independent: ONE job materializes the anti-joined union of every
+    * surviving edge batch (batch id as a column) to a durable tmp
+    * table, ONE job counts survivors per batch, and only batches whose
+    * footer count differs are rewritten (from the tmp table — never
+    * from plans over the dirs being replaced). Returns edges reclaimed. */
+  private[graft] def compactEdges(dropIds: DataFrame, gcRunId: String): Long = {
+    val batchIds = io.batches(EdgeStore)
+    if (batchIds.isEmpty) return 0L
+    val pruned = io.readBatchesTagged(EdgeStore, "__batch")
+      .join(dropIds.withColumnRenamed("image_id", "id1"), Seq("id1"), "left_anti")
+      .join(dropIds.withColumnRenamed("image_id", "id2"), Seq("id2"), "left_anti")
+    // durable materialization BEFORE any dir is rewritten: a lazy plan
+    // (or cached-only copy) would recompute its lineage from batch dirs
+    // this method is about to replace. Same ".tmp-" reclaim discipline
+    // as the dropIds copy.
+    val edgesTmp = s"$workDir/gc-edges.tmp-$gcRunId"
+    pruned.write.mode("overwrite").parquet(edgesTmp)
+    val survivors = spark.read.parquet(edgesTmp)
+    val after = survivors.groupBy("__batch").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var reclaimed = 0L
+    for (r <- batchIds) {
+      val before = io.batchRowCount(EdgeStore, r) // footers — no job
+      val kept = after.getOrElse(r, 0L)
+      if (kept != before) {
+        io.rewriteBatch(
+          survivors.filter(col("__batch") === r).drop("__batch"), EdgeStore, r)
+        reclaimed += before - kept
+      }
+    }
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(edgesTmp), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(edgesTmp), true)
+    reclaimed
   }
 
   /** D4 retention trigger: keep only the newest `n` ingest batches

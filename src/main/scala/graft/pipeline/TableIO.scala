@@ -178,11 +178,41 @@ final class TableIO(spark: SparkSession, baseDir: String) {
   def readBatch(table: String, runId: String): DataFrame =
     spark.read.parquet(batchPath(table, runId).toString)
 
+  /** Row count of one committed batch from parquet FOOTERS only —
+    * driver-side metadata reads, no Spark job. */
+  def batchRowCount(table: String, runId: String): Long = {
+    val f = fs
+    val conf = spark.sparkContext.hadoopConfiguration
+    f.listStatus(batchPath(table, runId)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getRecordCount finally reader.close()
+      }.sum
+  }
+
   /** Read the whole store (union of committed batches). */
   def readBatches(table: String): DataFrame = {
     val ids = batches(table)
     require(ids.nonEmpty, s"store $table has no batches")
     spark.read.parquet(ids.map(r => batchPath(table, r).toString): _*)
+  }
+
+  /** Read the whole store with the owning batch id attached as column
+    * `tagCol`. The schema is inferred ONCE and pinned for every other
+    * batch dir — a naive per-dir `spark.read.parquet` launches one
+    * schema-inference job per batch, which turns any whole-store pass
+    * into O(batches) Spark jobs. */
+  def readBatchesTagged(table: String, tagCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val ids = batches(table)
+    require(ids.nonEmpty, s"store $table has no batches")
+    val schema = spark.read.parquet(batchPath(table, ids.head).toString).schema
+    ids.map { r =>
+      spark.read.schema(schema).parquet(batchPath(table, r).toString)
+        .withColumn(tagCol, lit(r))
+    }.reduce(_ unionByName _)
   }
 
   /** Whether a store exists with at least one committed batch. */

@@ -25,6 +25,37 @@ class RestoreSpec extends AnyFunSuite {
     assert(r.getLong(2) == 1, "all rows restored")
   }
 
+  test("roundtrip report verifies and counts coverage in a single pass (no standalone count jobs)") {
+    import spark.implicits._
+    val images = CorpusGen.generate(spark, 6).cache(); images.count()
+    val cc = images.select(col("image_id"), col("image_id").as("content_id"))
+    val restored = RestoreOps.restore(
+      RestoreOps.recipes(images, cc), RestoreOps.contentStore(images, cc)).cache()
+    restored.count()
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    val rep =
+      try RestoreOps.roundtripReport(images, restored, cfg).collect()
+      finally { Thread.sleep(1500); spark.sparkContext.removeSparkListener(l) }
+    assert(rep.length == 1)
+    assert(rep(0).getLong(0) == 0 && rep(0).getLong(1) == 0 && rep(0).getLong(2) == 1)
+    // round-2 ran images.count + restored.distinct.count + a violations
+    // aggregation (3+ actions); the report is now one query
+    assert(jobs <= 3, s"report ran $jobs jobs")
+    // coverage rides the same pass: a missing restored row flips
+    // all_restored with no extra count action
+    val first = images.first().image_id
+    val rep2 = RestoreOps.roundtripReport(images,
+      restored.filter(col("image_id") =!= first), cfg).collect()(0)
+    assert(rep2.getLong(2) == 0)
+    assert(rep2.getLong(0) == 0 && rep2.getLong(1) == 0)
+    images.unpersist(); restored.unpersist()
+  }
+
   test("content store dedups: fewer stored rows than images, dedup ratio sane") {
     val images = CorpusGen.generate(spark, 40).cache()
     val sigs = DedupPipeline.signatures(images, cfg)

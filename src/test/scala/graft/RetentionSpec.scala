@@ -96,6 +96,53 @@ class RetentionSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("edge compaction is one union job regardless of batch count; untouched batches stay byte-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ret-compact").toString
+    val io = new graft.pipeline.TableIO(spark, dir)
+    val nBatches = 12
+    // 12 edge batches; only e3 references the ids being dropped
+    for (b <- 0 until nBatches) {
+      val rows = (0 until 3).map(i => (s"img_${b}_$i", s"img_${b}_${i + 10}", "exact"))
+      io.appendBatch(rows.toDF("id1", "id2", "verdict"),
+        IncrementalDedup.EdgeStore, s"e$b")
+    }
+    def files(r: String): Seq[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir,
+          IncrementalDedup.EdgeStore, s"batch-$r")).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => (f.toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSeq.sorted
+    }
+    val before = (0 until nBatches).filterNot(_ == 3).map(b => b -> files(s"e$b"))
+
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val ret = new Retention(spark, dir, cfg)
+    val dropIds = Seq("img_3_1", "img_3_11").toDF("image_id")
+    val reclaimed =
+      try ret.compactEdges(dropIds, "gcT")
+      finally {
+        Thread.sleep(1500) // listener bus drains asynchronously
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    // e3 loses its rows containing img_3_1 or img_3_11: rows (1,11)
+    // and... id pairs are (img_3_i, img_3_{i+10}), so row i=1 only
+    assert(reclaimed == 1L)
+    assert(io.batchRowCount(IncrementalDedup.EdgeStore, "e3") == 2L)
+    for ((b, f) <- before) assert(files(s"e$b") == f, s"batch e$b was rewritten")
+    // the round-2 loop ran >= 2 jobs per batch (24 here); the compaction
+    // is now batch-count independent — measured 7 jobs at BOTH 4 and 12
+    // batches (schema-pinned union write + count + 1 rewrite + AQE
+    // sub-jobs)
+    assert(jobs <= 9, s"compaction ran $jobs jobs for $nBatches batches")
+  }
+
   test("expiring everything clears the cluster table; expiring nothing is a no-op") {
     val dir = Files.createTempDirectory("graft-ret3").toString
     val inc = new IncrementalDedup(spark, dir, cfg)
