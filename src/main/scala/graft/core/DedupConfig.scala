@@ -78,7 +78,45 @@ final case class DedupConfig(
     // --- misc ---
     seed: Long = 42L
 ) {
-  require(bands * rowsPerBand == minhashK, s"bands*rowsPerBand must equal minhashK")
+  // --- cross-knob validation (the analog of destor's init_index combo
+  //     normalization, reference src/index/index.c:34-109, which forces
+  //     consistent segmenting+sampling+selection per named combo and
+  //     exit(1)s on nonsense like exact dedup with a sampled index).
+  //     Every guard is a RELATION between knobs a user can mis-tune
+  //     independently; single-knob range checks ride along.
+  require(shingleSize >= 1, "shingleSize must be >= 1")
+  require(minhashK >= 1, "minhashK must be >= 1")
+  require(bands >= 1 && rowsPerBand >= 1, "bands and rowsPerBand must be >= 1")
+  require(bands * rowsPerBand == minhashK,
+    s"bands*rowsPerBand ($bands*$rowsPerBand) must equal minhashK ($minhashK)")
+  // hamming-LSH pigeonhole guarantee: splitting the 64-bit phash into
+  // `phashBlocks` blocks and posting every (blocks - combo)-subset
+  // guarantees a shared bucket for any pair with hamming <= blocks -
+  // combo. If that bound were below hammingMax, verify would accept
+  // pairs the candidate generator can MISS — a silent recall hole, not
+  // an error any single stage could detect.
+  require(phashCombo >= 1 && phashCombo <= phashBlocks && phashBlocks <= 64,
+    s"need 1 <= phashCombo ($phashCombo) <= phashBlocks ($phashBlocks) <= 64")
+  require(hammingMax >= 0, "hammingMax must be >= 0")
+  require(phashBlocks - phashCombo >= hammingMax,
+    s"phashBlocks - phashCombo (${phashBlocks - phashCombo}) must be >= hammingMax " +
+      s"($hammingMax): the combo-key pigeonhole guarantee must cover the verify gate")
+  require(simhashBits >= 1 && simhashBits <= 64, "simhashBits must be in [1,64]")
+  require(jaccardMin > 0 && jaccardMin <= 1, "jaccardMin must be in (0,1]")
+  require(psnrMin > 0, "psnrMin must be > 0")
+  require(substrGram >= 2 && substrWindow >= 1,
+    "substrGram must be >= 2 and substrWindow >= 1")
+  require(substrDfCap >= 1, "substrDfCap must be >= 1")
+  require(bucketCap >= 2,
+    s"bucketCap ($bucketCap) must be >= 2: below 2 even a genuine dup pair's " +
+      "bucket would star-pair to itself and emit nothing")
+  require(skewQuantile > 0 && skewQuantile < 1, "skewQuantile must be in (0,1)")
+  require(indexValueLength >= 1, "indexValueLength must be >= 1")
+  require(bloomFpp > 0 && bloomFpp < 1, "bloomFpp must be in (0,1)")
+  require(containerBytes > 0, "containerBytes must be > 0")
+  require(cflUsageThreshold >= 0 && cflUsageThreshold <= 1,
+    "cflUsageThreshold must be in [0,1]")
+  require(cflRequire >= 0 && cflRequire <= 1, "cflRequire must be in [0,1]")
   /** Min normalized-caption length (chars) for the substring-dup gate:
     * winnowing guarantees any shared substring of this length shares a
     * selected fingerprint, so recall of the substring pass is exact. */
@@ -94,4 +132,57 @@ final case class DedupConfig(
 
 object DedupConfig {
   val default: DedupConfig = DedupConfig()
+
+  /** Named configuration presets — the analog of destor's `init_index`
+    * combos (reference src/index/index.c:34-109: DDFS, Sampled Index,
+    * Sparse Index, Extreme Binning, SiLo, BLC — each a NORMALIZED
+    * bundle of segmenting+sampling+selection choices, so a user picks a
+    * published design point instead of hand-tuning ~40 knobs into an
+    * inconsistent state). Each preset revalidates through the case
+    * class's cross-knob guards at class-init time.
+    *
+    * All presets keep the verification thresholds (jaccardMin, psnrMin,
+    * hammingMax) identical — they are the CORRECTNESS surface the
+    * recall gate is graded on; presets trade candidate-generation cost
+    * against recall headroom and index/memory footprint, exactly the
+    * axis destor's combos trade on (exact vs near-exact, physical vs
+    * logical locality).
+    */
+  /** DDFS analog (exact physical, src/index/index.c:37-44): maximum
+    * evidence retention — tight Bloom front-end on the incremental
+    * probe, deep posting FIFO (kvstore value cap), default banding. The
+    * most index memory per key; the fewest missed candidates across
+    * ingest batches. */
+  val exactPhysical: DedupConfig = default.copy(
+    bloomFpp = 0.01,
+    indexValueLength = 256)
+
+  /** Sparse-Index / Sampled-Index analog (near-exact,
+    * src/index/index.c:45-75: sampled features, bounded index): smaller
+    * MinHash signature (sampling-ratio analog), shallower posting FIFO,
+    * earlier star-pairing. Cheapest per-row compute and smallest index;
+    * recall still above the 0.99 gate at j=0.8 (S-curve at b=16, r=4:
+    * 1-(1-0.8^4)^16 = 0.9996) but with less headroom at j=0.7. */
+  val sampledNearExact: DedupConfig = default.copy(
+    minhashK = 64, bands = 16, rowsPerBand = 4,
+    indexValueLength = 32,
+    bucketCap = 32)
+
+  /** Extreme-Binning / SiLo analog (similarity + logical locality,
+    * src/index/index.c:76-97: segment-similarity champions): widest
+    * candidate generation — more bands for recall headroom on weak
+    * similarities, a larger all-pairs budget per bucket before CAP
+    * star-pairing, deeper FIFO. Costliest shuffle; highest recall
+    * margin (b=30, r=4: recall 0.9998 at j=0.7). */
+  val similarityLogical: DedupConfig = default.copy(
+    minhashK = 120, bands = 30, rowsPerBand = 4,
+    bucketCap = 128,
+    indexValueLength = 128)
+
+  /** Preset registry keyed by the destor combo family each mirrors. */
+  val presets: Map[String, DedupConfig] = Map(
+    "exact-physical" -> exactPhysical,
+    "sampled-near-exact" -> sampledNearExact,
+    "similarity-logical" -> similarityLogical,
+    "default" -> default)
 }

@@ -110,9 +110,18 @@ object CheckpointedPipeline {
     // resumes from the last reliable cut instead of recomputing the
     // label chain from round 0 (ConnectedComponents picks this up via
     // sc.getCheckpointDir). Set UNCONDITIONALLY: the dir is session-
-    // global, and a second run in the same session with a different
-    // workDir must not write its "durable" cuts into the first run's
-    // workDir (which may be retired underneath it).
+    // global, and a second SEQUENTIAL run in the same session with a
+    // different workDir must not write its "durable" cuts into the
+    // first run's workDir (which may be retired underneath it).
+    // CONTRACT: at most one CheckpointedPipeline run per SparkSession
+    // at a time — the checkpoint dir is session-global state, so two
+    // CONCURRENT runs sharing a session would race it (one run's cuts
+    // landing in the other's possibly-retired workDir). Concurrent
+    // pipelines must use separate sessions (spark.newSession() shares
+    // the session-global SparkContext checkpoint dir too — use separate
+    // contexts, i.e. separate driver processes, or serialize the runs).
+    // This also means a caller-configured checkpoint dir is overridden
+    // for the session; run pipelines last or reset it afterwards.
     spark.sparkContext.setCheckpointDir(s"$workDir/rdd-checkpoints")
 
     val imagesDf = runner.stage("images")(images.toDF())
