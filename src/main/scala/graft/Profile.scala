@@ -62,14 +62,14 @@ object Profile {
       p
     }
     val ver = time("verify", cores) {
-      val (v, cleanup, _) = DedupPipeline.verifyWithCleanup(cand, sigs, images, cfg)
+      val (v, cleanup, _) = DedupPipeline.verifyWithCleanup(cand, sigs, images.toDF(), cfg)
       val vp = v.persist(lvl)
       vp.count()
       cleanup()
       vp
     }
     time("clusters", cores) {
-      DedupPipeline.clusters(images, ver).count()
+      DedupPipeline.clusters(images.toDF(), ver).count()
     }
     time("end_to_end", cores) {
       DedupPipeline.run(images, cfg).count()

@@ -75,6 +75,18 @@ final case class DedupConfig(
     containerBytes: Long = 4L << 20, // content-store container size (destor CONTAINER_SIZE)
     cflUsageThreshold: Double = 0.03, // container utilization below which a restore's dups are out-of-order
     cflRequire: Double = 0.6, // R7 switch: live CFL at/above this disables rewriting
+    // --- simulation level (destor src/destor.h:55-59: metadata-only
+    //     runs that skip data movement, used for cheap index/dedup-ratio
+    //     audits over huge traces). signatureOnly=true is the graft
+    //     analog: the pipeline never reads or writes the `bytes` column —
+    //     signatures come from caption+phash metadata, the pixel-verify
+    //     side-join is skipped (hamming-close pairs settle on phash
+    //     evidence with psnr = -1), exact identity degrades to
+    //     metadata equality (caption+phash), pixel-identity keys are
+    //     per-image unique (never fire), and restore is unavailable.
+    //     Like destor's simulation stores, a simulation workDir and a
+    //     full workDir must not mix. ---
+    signatureOnly: Boolean = false,
     // --- misc ---
     seed: Long = 42L
 ) {

@@ -167,10 +167,24 @@ final class IncrementalDedup(
       if (io.hasBatches(SigStore))
         newSigs.toDF().unionByName(io.readBatches(SigStore)).as[SignatureRow]
       else newSigs
-    val allImages =
-      if (io.hasBatches(ImagesStore))
-        batch.toDF().unionByName(io.readBatches(ImagesStore)).as[ImageRow]
-      else batch
+    // signature-only simulation (destor src/destor.h:55-59): only the
+    // metadata columns ever flow — the images side feeds verify's pixel
+    // join (skipped under the flag) and the CC vertex list (image_id
+    // only), so the narrow projection is complete. A simulation workDir
+    // and a full workDir must not mix (destor's simulated stores carry
+    // the same constraint): the ImagesStore batch schema differs.
+    val metaCols = Seq("image_id", "caption", "phash").map(col)
+    val allImages: DataFrame =
+      if (cfg.signatureOnly) {
+        val nb = batch.toDF().select(metaCols: _*)
+        if (io.hasBatches(ImagesStore))
+          nb.unionByName(io.readBatches(ImagesStore).select(metaCols: _*))
+        else nb
+      } else {
+        if (io.hasBatches(ImagesStore))
+          batch.toDF().unionByName(io.readBatches(ImagesStore))
+        else batch.toDF()
+      }
     val candM = cand.persist(lvl)
     val candPairs = candM.count()
     probeCleanup += (() => { candM.unpersist(blocking = false); () })
@@ -207,7 +221,9 @@ final class IncrementalDedup(
     //    clears the partial appends on retry; table publishes
     //    (clusters, HAR) are replace-style and idempotent.
     io.publish(assign, ClustersTable, cfg.configHash, runId)
-    io.appendBatch(batch.toDF(), ImagesStore, runId)
+    io.appendBatch(
+      if (cfg.signatureOnly) batch.toDF().select(metaCols: _*) else batch.toDF(),
+      ImagesStore, runId)
     io.appendBatch(newPost.toDF().withColumn("ingest_seq", lit(seq)), PostStore, runId)
     io.appendBatch(newSigs.toDF(), SigStore, runId)
 
@@ -245,7 +261,7 @@ object IncrementalDedup {
       cand: DataFrame,
       candPairs: Long,
       allSigs: Dataset[SignatureRow],
-      allImages: Dataset[ImageRow]): (Dataset[SignatureRow], Dataset[ImageRow], () => Unit) = {
+      allImages: DataFrame): (Dataset[SignatureRow], DataFrame, () => Unit) = {
     val spark = cand.sparkSession
     import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
@@ -259,9 +275,9 @@ object IncrementalDedup {
     // cache before verify's joins consume it twice
     val nTouched = verSigs.count()
     val touchedIds = verSigs.toDF().select("image_id")
-    val verImages = allImages.toDF().join(
+    val verImages = allImages.join(
       if (nTouched <= BroadcastIdLimit) broadcast(touchedIds) else touchedIds,
-      "image_id").as[ImageRow]
+      "image_id")
     (verSigs, verImages, () => { verSigs.unpersist(blocking = false); () })
   }
 }

@@ -238,10 +238,15 @@ object RestoreOps {
     * run — builds the content store from verified pairs, restores every
     * row, and returns the one-row fidelity report. */
   def roundTrip(images: Dataset[ImageRow], cfg: DedupConfig): DataFrame = {
+    // restore IS the data-movement stage a metadata-only simulation
+    // skips (destor's simulation levels equally cannot restore from a
+    // simulated store, src/destor.h:55-59)
+    require(!cfg.signatureOnly,
+      "restore/round-trip requires pixel data; signatureOnly simulation skips it")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val sigs = DedupPipeline.signatures(images, cfg).persist(lvl)
     val cand = DedupPipeline.candidates(DedupPipeline.buckets(sigs, cfg), cfg)
-    val (ver, cleanupMid, pairCount) = DedupPipeline.verifyWithCleanup(cand, sigs, images, cfg)
+    val (ver, cleanupMid, pairCount) = DedupPipeline.verifyWithCleanup(cand, sigs, images.toDF(), cfg)
     // the edge set is consumed by BOTH the clustering and the repair's
     // skip anti-join: persist it so the verify stage's pair-decode map
     // executes exactly once (it is narrow — two id columns)

@@ -124,11 +124,16 @@ object CheckpointedPipeline {
     // for the session; run pipelines last or reset it afterwards.
     spark.sparkContext.setCheckpointDir(s"$workDir/rdd-checkpoints")
 
-    val imagesDf = runner.stage("images")(images.toDF())
-    def imagesDs = imagesDf.as[ImageRow]
+    // signature-only simulation (destor's metadata-only simulation
+    // levels, src/destor.h:55-59): the published images checkpoint
+    // carries ONLY the metadata columns — `bytes` is neither read nor
+    // written anywhere in the flow
+    val imagesDf = runner.stage("images")(
+      if (cfg.signatureOnly) images.toDF().select("image_id", "caption", "phash")
+      else images.toDF())
 
     val sigs = runner.stage("signatures")(
-      DedupPipeline.signatures(imagesDs, cfg).toDF())
+      DedupPipeline.signaturesFromDF(imagesDf, cfg).toDF())
     def sigsDs = sigs.as[SignatureRow]
 
     // P9 degenerate-input counters (zero-chunk jcr analog): one narrow
@@ -181,7 +186,7 @@ object CheckpointedPipeline {
       // only run inside the stage thunk (skipped entirely on resume)
       var cleanupMid: () => Unit = () => ()
       val published = runner.stage("verified_pairs") {
-        val (ver, cm, _) = DedupPipeline.verifyWithCleanup(cand, sigsDs, imagesDs, cfg)
+        val (ver, cm, _) = DedupPipeline.verifyWithCleanup(cand, sigsDs, imagesDf, cfg)
         cleanupMid = cm
         ver.toDF()
       }
@@ -190,7 +195,7 @@ object CheckpointedPipeline {
     }
 
     val clusters = runner.stage("clusters")(
-      DedupPipeline.clusters(imagesDs, verified.as[VerifiedPair]).toDF())
+      DedupPipeline.clusters(imagesDf, verified.as[VerifiedPair]).toDF())
 
     runner.finish()
     (clusters, runner)

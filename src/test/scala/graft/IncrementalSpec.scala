@@ -136,7 +136,7 @@ class IncrementalSpec extends AnyFunSuite {
     val ids = sigs.collect().map(_.nid).distinct.sorted.take(4)
     val cand = Seq((ids(0), ids(1), 3, "exact"), (ids(2), ids(3), 2, "minhash"))
       .toDF("id1", "id2", "srcmask", "src")
-    val (vs, vi, cleanup) = IncrementalDedup.pruneToCandidates(cand, 2L, sigs, corpus)
+    val (vs, vi, cleanup) = IncrementalDedup.pruneToCandidates(cand, 2L, sigs, corpus.toDF())
     // the signature side verify sees is exactly the candidate-touched
     // rows — a 6-group store contributes 4 rows, not nStore
     assert(nStore > 4)

@@ -117,8 +117,8 @@ class SkewSpec extends AnyFunSuite {
       .count().withColumnRenamed("count", "n").limit(20)
     val sk = DedupPipeline.candidatesSkewAware(bk, cfg,
       Some(someBuckets.cache()))
-    val (ver, cleanup, _) = DedupPipeline.verifyWithCleanup(sk.pairs, sigs, corpus, cfg)
-    val got = DedupPipeline.clusters(corpus, ver)
+    val (ver, cleanup, _) = DedupPipeline.verifyWithCleanup(sk.pairs, sigs, corpus.toDF(), cfg)
+    val got = DedupPipeline.clusters(corpus.toDF(), ver)
       .collect().map(r => (r.image_id, r.cluster_id)).sorted.toSeq
     assert(got == direct)
     cleanup(); sk.cleanup()
