@@ -114,6 +114,34 @@ object Bench {
     * current ones. */
   private val ProtocolId = "r2-1600k-p1"
   private val LedgerPath = java.nio.file.Paths.get("BENCH/samples.jsonl")
+  private val RetiredLedgerPath = java.nio.file.Paths.get("BENCH/samples_retired.jsonl")
+
+  /** Pair-key FAMILIES whose measurement protocol was retired (see the
+    * "Ledger protocol history" section this bench writes to
+    * BENCH/BASELINE.md): "chunk"/"headline8" measured the chunk sweep
+    * inside the bench JVM (heap history confounded the 32-thread
+    * level), "chunkjvm" ran child JVMs but recorded no per-rep steal
+    * rate, so those reps can never prove themselves calm. Retired
+    * samples are MOVED to samples_retired.jsonl (history preserved for
+    * audit) rather than pooled-but-filtered, so the live ledger contains
+    * exactly the samples the estimators read. */
+  private val RetiredPairFamilies = Seq("chunk", "chunkjvm", "headline8")
+
+  /** Move retired-family samples out of the live ledger (idempotent;
+    * runs once per bench invocation before the ledger is read). */
+  private def ledgerRetire(): Unit = {
+    if (!java.nio.file.Files.exists(LedgerPath)) return
+    val lines = scala.io.Source.fromFile(LedgerPath.toFile).getLines().toSeq
+    val (retired, live) = lines.partition(l =>
+      RetiredPairFamilies.exists(f => l.contains("\"pair\":\"" + f + ":")))
+    if (retired.isEmpty) return
+    java.nio.file.Files.writeString(RetiredLedgerPath,
+      retired.mkString("", "\n", "\n"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    java.nio.file.Files.writeString(LedgerPath,
+      if (live.isEmpty) "" else live.mkString("", "\n", "\n"))
+  }
 
   /** Append this run's reps to the persistent sample ledger. */
   private def ledgerAppend(reps: Seq[(String, Rep)], images: Long): Unit = {
@@ -215,9 +243,10 @@ object Bench {
     // cross-run sample ledger (see the md note this writes): prior reps
     // of the identical protocol+corpus pool into the min estimators and
     // seed the stability gates.
+    ledgerRetire()
     val prior = ledgerLoad(gateImages)
     val priorScaling = prior.collect {
-      case (p, r) if p == "gate" || p == "secondary" => r
+      case (p, r) if p == "gate" || p == "secondary" || p == "mid" => r
     }
 
     // destor's chunk+hash phase MB/s analog (see ChunkProbe's scaladoc):
@@ -304,7 +333,15 @@ object Bench {
       seed = priorScaling)
     val sec = gatedPairs(2, 8, gateGroups, minPairs = 2, maxPairs = 6, tol = tol,
       seed = gate ++ priorScaling)
+    // 4→16 mid pair: one more point on the single-box saturation curve
+    // (the microbenchmark says per-thread bandwidth is flat to 8
+    // threads and collapses at 32; this pair straddles the knee — a
+    // corroborating reading between the clean 2→8 proxy and the
+    // bandwidth-confounded 8→32)
+    val midp = gatedPairs(4, 16, gateGroups, minPairs = 2, maxPairs = 5, tol = tol,
+      seed = gate ++ sec ++ priorScaling)
     ledgerAppend(gate.map("gate" -> _) ++ sec.map("secondary" -> _) ++
+      midp.map("mid" -> _) ++
       headline.map { case (k, v) => s"headline:$k" -> Rep(32, v, 0, 0, 0) } ++
       chunkReps.toSeq.map { case (c, w, stRate) => s"chunkp:$c" -> Rep(c, w, stRate, 0, 0) },
       gateImages)
@@ -315,18 +352,23 @@ object Bench {
     // the two pairs run the SAME job on the SAME corpus/config, so the
     // shared local[8] level pools reps from both — more samples for the
     // same min estimator on an interference-prone host
-    val all = gate ++ sec ++ priorScaling
+    val all = gate ++ sec ++ midp ++ priorScaling
     val t8g = minAt(all, 8)
     val t32g = minAt(all, 32)
     val t2 = minAt(all, 2)
+    val t4 = minAt(all, 4)
+    val t16 = minAt(all, 16)
     val t8 = t8g
     val images = gateImages
 
     val eff832 = (t8g / t32g) / 4.0
     val eff28 = (t2 / t8) / 4.0
+    val eff416 = (t4 / t16) / 4.0
     val ips32 = gateImages / t32g
     val ips8 = gateImages / t8g
     val ips2 = images / t2
+    val ips4 = images / t4
+    val ips16 = images / t16
 
     // per-query pooled minima: the headline block is only min-of-2 in
     // any single run, so a multi-minute degraded window slips straight
@@ -359,13 +401,16 @@ object Bench {
     val chunk8Pooled = chunkPooled(8)
     val chunk32Pooled = chunkPooled(32)
     val chunkEff28 = (chunk2Pooled / chunk8Pooled) / 4.0
-    val chunkMbps = ChunkProbe.BlobMiB / chunk32Pooled
+    // decimal MB/s (the reference's per-phase unit, src/do_backup.c:
+    // 116-117 divides by 1 MiB then labels MB/s — we convert properly):
+    // BlobMiB is mebibytes, so MB = MiB * 1.048576
+    val chunkMbps = ChunkProbe.BlobMiB * 1.048576 / chunk32Pooled
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","images":$images,"gate_images":$gateImages,"images_per_sec_local32":$ips32%.1f,"images_per_sec_local8":$ips8%.1f,"images_per_sec_local2":$ips2%.1f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_2_to_8":$eff28%.3f,"chunk_mbps_local32":$chunkMbps%.0f,"chunk_scaling_2_to_8":$chunkEff28%.3f,"pooled_prior_samples":${prior.length},"fresh_samples":${gate.length + sec.length}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","images":$images,"gate_images":$gateImages,"images_per_sec_local32":$ips32%.1f,"images_per_sec_local8":$ips8%.1f,"images_per_sec_local4":$ips4%.1f,"images_per_sec_local16":$ips16%.1f,"images_per_sec_local2":$ips2%.1f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_4_to_16":$eff416%.3f,"chunk_mbps_local32":$chunkMbps%.0f,"chunk_scaling_2_to_8":$chunkEff28%.3f,"pooled_prior_samples":${prior.length},"fresh_samples":${gate.length + sec.length + midp.length}}""")
 
-    writeBenchMd(sfDir, images, gateImages, t2, t8, t8g, t32g, eff28, eff832,
-      gate, sec, headlinePooled, prior.length, chunk2Pooled, chunk8Pooled, chunk32Pooled, chunkEff28)
+    writeBenchMd(sfDir, images, gateImages, t2, t8, t8g, t32g, t4, t16, eff28, eff832, eff416,
+      gate, sec, midp, headlinePooled, prior.length, chunk2Pooled, chunk8Pooled, chunk32Pooled, chunkEff28)
   }
 
   private def time(f: => Unit): Double = {
@@ -377,8 +422,9 @@ object Bench {
 
   private def writeBenchMd(sfDir: String, images: Long, gateImages: Long,
       t2: Double, t8: Double, t8g: Double, t32g: Double,
-      eff28: Double, eff832: Double,
-      gate: Seq[Rep], sec: Seq[Rep],
+      t4: Double, t16: Double,
+      eff28: Double, eff832: Double, eff416: Double,
+      gate: Seq[Rep], sec: Seq[Rep], midp: Seq[Rep],
       queryTimes: Seq[(String, Double)], priorSamples: Int,
       chunk2: Double, chunk8: Double, chunk32: Double, chunkEff28: Double): Unit = {
     val dir = java.nio.file.Paths.get("BENCH")
@@ -401,6 +447,17 @@ object Bench {
     md ++= f"| local[2]  | $t2%.2f | ${images / t2}%.1f |\n"
     md ++= f"| local[8]  | $t8%.2f | ${images / t8}%.1f |\n\n"
     md ++= f"**Scaling efficiency 2→8 (speedup/4): $eff28%.3f**\n\n"
+    md ++= s"## Mid pair 4 → 16 cores ($images images — saturation-curve corroboration)\n\n"
+    md ++= "| parallelism | wall s (min) | images/sec |\n|---|---|---|\n"
+    md ++= f"| local[4]  | $t4%.2f | ${images / t4}%.1f |\n"
+    md ++= f"| local[16] | $t16%.2f | ${images / t16}%.1f |\n\n"
+    md ++= f"**Scaling efficiency 4→16 (speedup/4): $eff416%.3f**\n\n"
+    md ++= "The mid pair sits between the clean 2→8 proxy (both levels in\n"
+    md ++= "the flat-bandwidth regime) and the confounded 8→32 pair (upper\n"
+    md ++= "level fully bandwidth-saturated): 16 threads straddle the knee\n"
+    md ++= "of the measured per-thread bandwidth curve, so its efficiency\n"
+    md ++= "is expected between the two — a corroborating point ON the\n"
+    md ++= "saturation curve, not an independent engine-scaling gate.\n\n"
     md ++= s"Minima are pooled over THIS run's samples (below) plus $priorSamples\n"
     md ++= s"prior recorded samples of the identical protocol+corpus+config\n"
     md ++= s"(`BENCH/samples.jsonl`, proto `$ProtocolId`): the host's calm-window\n"
@@ -415,6 +472,7 @@ object Bench {
       md ++= f"| $p | ${r.cores} | ${r.wall}%.2f | ${r.steal} | ${r.calB}%.0f/${r.calA}%.0f |\n"
     gate.foreach(row("gate", _))
     sec.foreach(row("secondary", _))
+    midp.foreach(row("mid", _))
     md ++= "\nThe host shows multi-minute interference windows (identical runs\n"
     md ++= "3-8x slower at ~1% steal — co-tenant bandwidth/frequency effects\n"
     md ++= "invisible to steal accounting; see doc/shuffle-scaling-notes.md).\n"
@@ -448,13 +506,16 @@ object Bench {
     md ++= "## Headline query timings at local[32] (pooled min across recorded runs)\n\n| query | sec |\n|---|---|\n"
     queryTimes.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
     locally {
-      val B = ChunkProbe.BlobMiB
+      // decimal MB/s to match the unit destor's logs CLAIM (its formula
+      // divides by 1 MiB, src/do_backup.c:116-117; we convert MiB→MB so
+      // the label is honest): MB = MiB * 1.048576
+      val B = ChunkProbe.BlobMiB * 1.048576
       md ++= f"\n## Chunk-phase throughput (destor per-phase MB/s analog)\n\n"
-      md ++= f"$B MiB of binary rows scanned from tmpfs parquet, FastCDC cut\n"
+      md ++= f"${ChunkProbe.BlobMiB} MiB of binary rows scanned from tmpfs parquet, FastCDC cut\n"
       md ++= f"at the reference's default sizes (min 512 / avg 4 Ki / max 64 Ki)\n"
       md ++= f"with a fingerprint per chunk. Each (level, rep) runs in a FRESH\n"
       md ++= f"child JVM (a long-lived JVM's heap history slows the 32-thread\n"
-      md ++= f"sweep ~3.8x), levels interleaved; pooled minima:\n\n"
+      md ++= f"sweep ~3.8x), levels interleaved; pooled minima (decimal MB/s):\n\n"
       md ++= f"| parallelism | wall s (min) | MB/s |\n|---|---|---|\n"
       md ++= f"| local[2]  | $chunk2%.2f | ${B / chunk2}%.0f |\n"
       md ++= f"| local[8]  | $chunk8%.2f | ${B / chunk8}%.0f |\n"
@@ -473,6 +534,24 @@ object Bench {
       md ++= f"throughput degrades beyond 8 active cores independent of Spark\n"
       md ++= f"(frequency/shared-pipe effects; doc/shuffle-scaling-notes.md).\n"
     }
+    md ++= "\n## Ledger protocol history (BENCH/samples.jsonl)\n\n"
+    md ++= "Minima pool ONLY over live-ledger samples matching the current\n"
+    md ++= s"protocol id (`$ProtocolId`) + corpus size; a protocol bump starts\n"
+    md ++= "an empty pool. Pair-key families and their status:\n\n"
+    md ++= "| family | meaning | status |\n|---|---|---|\n"
+    md ++= "| gate / secondary / mid | scaling reps (8→32 / 2→8 / 4→16): wall s, steal ticks, bracketing cal ms | live |\n"
+    md ++= "| headline:<query> | local[32] per-query timings (min-of-2 per run) | live |\n"
+    md ++= "| chunkp:<cores> | chunk probe, fresh child JVM per rep; `steal` field = ticks/SECOND | live |\n"
+    md ++= "| chunk:<cores>, headline8:* | chunk sweep inside the bench JVM — heap history confounded the 32-thread level | retired |\n"
+    md ++= "| chunkjvm:<cores> | child-JVM probe, but steal-blind (reps can never prove themselves calm) | retired |\n\n"
+    md ++= "Retired-family samples are MOVED to `BENCH/samples_retired.jsonl`\n"
+    md ++= "on the first bench run after retirement (history preserved for\n"
+    md ++= "audit); the live ledger then contains exactly what the estimators\n"
+    md ++= "read. Protocol id history: `r2-1600k-p1` — round 2 onward (1.6M-\n"
+    md ++= "image gate corpus, child-JVM chunk probes, stability-gated reps);\n"
+    md ++= "round-1 eras predate the ledger. The `mid` family was added in\n"
+    md ++= "round 3 under the same protocol id: an ADDITIVE level on the same\n"
+    md ++= "job/corpus/config, so existing gate/secondary samples stay valid.\n"
     java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md.toString)
   }
 }
