@@ -457,7 +457,14 @@ object Bench {
     md ++= "level fully bandwidth-saturated): 16 threads straddle the knee\n"
     md ++= "of the measured per-thread bandwidth curve, so its efficiency\n"
     md ++= "is expected between the two — a corroborating point ON the\n"
-    md ++= "saturation curve, not an independent engine-scaling gate.\n\n"
+    md ++= "saturation curve, not an independent engine-scaling gate.\n"
+    if (t16 <= t32g * 1.05)
+      md ++= f"Measured: local[16] (${t16}%.2f s) already matches local[32]\n" +
+        f"(${t32g}%.2f s) — beyond 16 threads this box adds NOTHING, so the\n" +
+        "shared-resource ceiling binds at or below 16 threads and the\n" +
+        "4→16 upper level is partially confounded exactly as 8→32's is;\n" +
+        "only the 2→8 pair has both levels below the ceiling.\n\n"
+    else md ++= "\n"
     md ++= s"Minima are pooled over THIS run's samples (below) plus $priorSamples\n"
     md ++= s"prior recorded samples of the identical protocol+corpus+config\n"
     md ++= s"(`BENCH/samples.jsonl`, proto `$ProtocolId`): the host's calm-window\n"
