@@ -58,6 +58,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "q_substr_dups" -> ((s, d) => TextOps.substrDedup(s, d, cfg)),
+    "q_substr_sa" -> ((s, d) => TextOps.substrDedupSA(s, d, cfg)),
     "q_cfl_rewrite" -> ((s, d) => TextOps.cflRewrite(s, d)),
     "q_har_sparse" -> ((s, d) => TextOps.harSparse(s, d)),
     "q_greedy_topk" -> ((s, d) => graft.ops.GreedySelect.greedyTopKDocs(s, d)),
@@ -313,6 +314,17 @@ object SparkEntry {
         |FROM p JOIN d da ON da.doc_id = p.id1 JOIN d db ON db.doc_id = p.id2
         |WHERE (contains(db.t, da.t) AND da.t <> db.t)
         |   OR (contains(da.t, db.t) AND da.t <> db.t)""".stripMargin,
+    // Suffix-array exact containment: no fingerprints and no prune in
+    // the engine (generalized SA per source shard), so the oracle is
+    // the plain quadratic containment join — exactness is the point.
+    "q_substr_sa" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source, lower(text) AS t FROM documents
+        |  WHERE length(lower(text)) >= ${cfg.substrMinChars})
+        |SELECT a.doc_id AS id1, b.doc_id AS id2
+        |FROM d a JOIN d b
+        |  ON a.source = b.source AND a.doc_id < b.doc_id AND a.t <> b.t
+        |WHERE contains(a.t, b.t) OR contains(b.t, a.t)""".stripMargin,
     "q_cfl_rewrite" ->
       """WITH canon AS (
         |  SELECT md5(text) AS k, min(doc_id) AS canonical_id FROM documents GROUP BY 1),

@@ -436,4 +436,43 @@ object TextOps extends Serializable {
         (col("tx1").contains(col("tx2")) && col("tx1") =!= col("tx2")))
       .select("id1", "id2")
   }
+
+  /** Exact substring-containment dups via a generalized suffix array
+    * per source shard — the suffix-array pass the north rule names
+    * next to MinHash/SimHash, and the exact twin of [[substrDedup]]:
+    * no fingerprints, no df-prune, so no recall loss on
+    * boilerplate-hot substrings. Same gate (both docs >= substrMinChars
+    * after lowercasing) and same output shape (id1 < id2, one row per
+    * containment pair with unequal texts).
+    *
+    * Scale shape: ONE shuffle (groupByKey on source), then each shard
+    * builds one GSA in O(shard log shard) and reads every containment
+    * pair off the LCP array in output-linear time — strictly better
+    * than the per-pair `contains` verify for shards with many
+    * candidates. Memory is O(shard bytes x ~20) per task, so the shard
+    * key bounds it; at corpus scale the caller re-shards (the winnowing
+    * LSH family remains the unbounded-shard path, SURVEY.md §7.4 risk
+    * 4). destor analog: exact verify after a candidate probe
+    * (reference src/index/index.c:181-204).
+    */
+  def substrDedupSA(spark: SparkSession, dir: String,
+      cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= cfg.substrMinChars)
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val shard = rows.map(r => (r._2, r._3)).toArray
+        val texts = shard.map(_._2)
+        SuffixArrays.containmentPairs(texts).iterator.map { case (i, j) =>
+          val a = shard(i)._1; val b = shard(j)._1
+          (math.min(a, b), math.max(a, b))
+        }.distinct
+        // no cross-shard dups possible: a doc lives in ONE source shard,
+        // so no post-group distinct (and no second shuffle) is needed
+      }
+      .toDF("id1", "id2")
+  }
 }

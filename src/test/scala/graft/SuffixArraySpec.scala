@@ -1,0 +1,103 @@
+package graft
+
+import graft.core.DedupConfig
+import graft.text.{SuffixArrays, TextOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Exact oracles for the generalized-suffix-array pass: the SA and
+  * LCP builders against brute-force suffix sorting, containment pairs
+  * against a nested-loop `contains`, and the Spark operator against a
+  * local brute force of the identical semantics (plus the guarantee
+  * that exactness dominates the df-pruned winnowing path). */
+class SuffixArraySpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, 8, "sa-spec")
+  val dir = "/root/testdata/sf0.001"
+  val cfg = DedupConfig.default
+
+  private def bruteSa(s: Array[Int]): Array[Int] = {
+    implicit val ord: Ordering[Array[Int]] =
+      (a, b) => {
+        val m = math.min(a.length, b.length)
+        var i = 0
+        while (i < m && a(i) == b(i)) i += 1
+        if (i < m) Integer.compare(a(i), b(i))
+        else Integer.compare(a.length, b.length)
+      }
+    Array.range(0, s.length).sortBy(i => s.drop(i))
+  }
+
+  private def bruteLcp(s: Array[Int], sa: Array[Int]): Array[Int] = {
+    val lcp = new Array[Int](s.length)
+    for (i <- 1 until s.length) {
+      val a = sa(i - 1); val b = sa(i)
+      var h = 0
+      while (a + h < s.length && b + h < s.length && s(a + h) == s(b + h)) h += 1
+      lcp(i) = h
+    }
+    lcp
+  }
+
+  test("suffix array + LCP match brute force on random strings (incl. degenerate alphabets)") {
+    val rnd = new Random(42)
+    val cases =
+      Seq(Array.emptyIntArray, Array(7), Array.fill(50)(3)) ++ // empty, single, all-equal
+      (1 to 150).map { t =>
+        val n = 1 + rnd.nextInt(200)
+        val alpha = 1 + rnd.nextInt(if (t % 3 == 0) 2 else 26)
+        Array.fill(n)(rnd.nextInt(alpha) + 1)
+      }
+    for (s <- cases) {
+      val sa = SuffixArrays.suffixArray(s)
+      assert(sa.toSeq == bruteSa(s).toSeq, s"sa mismatch on ${s.take(30).mkString(",")}")
+      assert(SuffixArrays.lcpArray(s, sa).toSeq == bruteLcp(s, sa).toSeq,
+        s"lcp mismatch on ${s.take(30).mkString(",")}")
+    }
+  }
+
+  private def bruteContain(texts: Array[String]): Set[(Int, Int)] =
+    (for {
+      i <- texts.indices
+      j <- texts.indices
+      if i != j && texts(i) != texts(j) && texts(j).contains(texts(i))
+    } yield (i, j)).toSet
+
+  test("containment pairs match nested-loop contains on random planted corpora") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 60) {
+      val base = Array.fill(3 + rnd.nextInt(5))(
+        Array.fill(5 + rnd.nextInt(40))(('a' + rnd.nextInt(3)).toChar).mkString)
+      // plant substrings, duplicates, and unrelated docs
+      val docs = (base ++ base.flatMap { t =>
+        val cut = if (t.length > 2) t.substring(rnd.nextInt(t.length / 2), t.length / 2 + 1) else t
+        Seq(cut, t) // a substring and an exact duplicate
+      } ++ Array.fill(3)(Array.fill(4 + rnd.nextInt(10))(('x' + rnd.nextInt(3)).toChar).mkString))
+        .filter(_.nonEmpty)
+      assert(SuffixArrays.containmentPairs(docs) == bruteContain(docs),
+        s"mismatch on ${docs.mkString("|")}")
+    }
+  }
+
+  test("substrDedupSA == local brute force on sf0.001; superset of the df-pruned winnowing path") {
+    val local = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).toLowerCase))
+      .filter(_._3.length >= cfg.substrMinChars)
+    val want = (for {
+      a <- local.iterator
+      b <- local
+      if a._1 < b._1 && a._2 == b._2 && a._3 != b._3 &&
+        (a._3.contains(b._3) || b._3.contains(a._3))
+    } yield (a._1, b._1)).toSet
+
+    val got = TextOps.substrDedupSA(spark, dir, cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+
+    val winnowed = TextOps.substrDedup(spark, dir, cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(winnowed.subsetOf(got),
+      s"winnowing found pairs SA missed: ${(winnowed -- got).take(5)}")
+  }
+}
