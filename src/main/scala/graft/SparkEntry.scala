@@ -77,6 +77,9 @@ object SparkEntry {
     "q_embed_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "q_embed_ann" -> ((s, d) => EmbedOps.annTopK(s, d)),
     "q_nearest_centroid" -> ((s, d) => EmbedOps.nearestCentroid(s, d)),
+    // rows-only by design (k-means codebook is not SQL-expressible);
+    // exact oracle in IvfSpec: nprobe == nC reproduces q_embed_topk
+    "q_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(s, d)),
     // --- the image near-dup pipeline on the synthetic corpus ---
     "q_img_clusters" -> ((s, d) =>
       DedupPipeline.run(CorpusGen.generate(s, groupsFor(d)), cfg).toDF()),

@@ -135,9 +135,24 @@ object EmbedOps {
     val rawPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select("vec_id", "neighbor_id")
-    // count() on the narrow scan gates the plan choice; the scan reads
+    rerankTopK(spark, e, rawPairs, k, maxBroadcastVectors)
+  }
+
+  /** Shared exact-cosine re-rank + top-k over a raw candidate-pair
+    * stream (vec_id, neighbor_id; duplicates allowed) — the back half
+    * of BOTH ANN paths (hyperplane-LSH and IVF), so the two candidate
+    * generators produce rank-identical results for identical candidate
+    * sets. Plan is SIZE-GATED on the corpus row count (the verify
+    * `needIds` pattern): broadcast below the threshold, co-partitioned
+    * shuffle-hash joins above it (no driver collect, no memory
+    * ceiling). `e` must be (vec_id, v: array<double>).
+    */
+  private def rerankTopK(spark: SparkSession, e: DataFrame,
+      rawPairs: DataFrame, k: Int, maxBroadcastVectors: Long): DataFrame = {
+    import spark.implicits._
+    // count() on the narrow side gates the plan choice; the scan reads
     // no vector payload (column pruning leaves vec_id only)
-    val nVecs = emb(spark, dir).select("vec_id").count()
+    val nVecs = e.select("vec_id").count()
     if (nVecs <= maxBroadcastVectors) {
       // FAST PATH (corpus fits one executor's memory comfortably):
       // dedup-across-tables + exact re-rank + top-k in ONE shuffle: the
@@ -238,5 +253,96 @@ object EmbedOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("c_label").as("nearest_label"))
+  }
+
+  /** Deterministic Lloyd k-means coarse quantizer (cosine assignment):
+    * init = the nC vectors with the smallest xxhash64(vec_id)
+    * (seeded pseudo-random, replayable), then `iters` rounds of
+    * broadcast-assign + posexplode/groupBy mean update. Only the
+    * nC x dim centroid table ever reaches the driver — that is the
+    * IVF contract (the coarse codebook is small by design); vectors
+    * stay distributed throughout. Empty cells keep their previous
+    * centroid. Returns cell -> centroid.
+    */
+  def kmeansCentroids(spark: SparkSession, e: DataFrame, nC: Int,
+      iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = e
+      .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy("h").limit(nC)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val cb = spark.sparkContext.broadcast(cents)
+      val cellU = udf((v: Seq[Double]) => nearestCell(cb.value, v))
+      val means = e.select(cellU(col("v")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** argmax-cosine cell with deterministic tie-break (lowest cell id). */
+  private def nearestCell(cents: Array[Array[Double]], v: Seq[Double]): Int = {
+    var best = 0; var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cos = cosRaw(cents(c), v)
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Top-`nprobe` cells by cosine, deterministic (cos desc, cell asc). */
+  private def probeCells(cents: Array[Array[Double]], v: Seq[Double], nprobe: Int): Array[Int] =
+    cents.indices.map(c => (-cosRaw(cents(c), v), c)).sorted.take(nprobe).map(_._2).toArray
+
+  private def cosRaw(a: Array[Double], v: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, v.length)
+    var i = 0
+    while (i < n) { val x = v(i); dot += a(i) * x; na += a(i) * a(i); nb += x * x; i += 1 }
+    if (na == 0 || nb == 0) Double.NegativeInfinity else dot / math.sqrt(na * nb)
+  }
+
+  /** ANN via IVF (inverted-file) probing — the second scale path next
+    * to the hyperplane-LSH tables, completing the classic pairing
+    * (IVF-Flat): a small k-means codebook partitions the corpus into
+    * nC cells; each query probes its `nprobe` nearest cells and exact
+    * re-ranks only those members. Candidate cost per query is
+    * ~ nprobe * n / nC, so nC scales with sqrt(n) (and nprobe trades
+    * recall for cost); the candidate join is one cell-keyed shuffle of
+    * id-only rows, and the re-rank is [[rerankTopK]] — the same
+    * size-gated plan as [[annTopK]], so results are rank-identical for
+    * identical candidate sets. With nprobe == nC the candidate set is
+    * all-pairs and the result EQUALS [[cosineTopK]] (the spec asserts
+    * this), making the exactness-vs-cost knob auditable. Hot cells are
+    * the residual skew (a dense corpus region): raise nC or split on
+    * cell size with the same CAP discipline as the LSH buckets.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nC: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      maxBroadcastVectors: Long = 1000000L): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cents = kmeansCentroids(spark, e, nC, iters)
+    val cb = spark.sparkContext.broadcast(cents)
+    val cellU = udf((v: Seq[Double]) => nearestCell(cb.value, v))
+    val probeU = udf((v: Seq[Double]) => probeCells(cb.value, v, nprobe))
+    val par = spark.sparkContext.defaultParallelism
+    // inverted file: cell -> member ids (id-only, never vectors)
+    val index = e.repartition(par).select(cellU(col("v")).as("cell"), col("vec_id").as("neighbor_id"))
+    val probes = e.repartition(par).select(col("vec_id"), explode(probeU(col("v"))).as("cell"))
+    // a member lives in exactly ONE cell and probed cells are distinct,
+    // so each (query, neighbor) pair appears at most once — no dedup
+    // shuffle needed before the re-rank
+    val rawPairs = probes.join(index, "cell")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id")
+    rerankTopK(spark, e, rawPairs, k, maxBroadcastVectors)
   }
 }
