@@ -265,8 +265,16 @@ object EmbedOps {
     * centroid. Returns cell -> centroid.
     */
   def kmeansCentroids(spark: SparkSession, e: DataFrame, nC: Int,
-      iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = e
+      iters: Int = 5, seed: Long = 42L, trainModulus: Int = 1): Array[Array[Double]] = {
+    // codebook training reads only a deterministic 1/trainModulus
+    // hash-sample (classic IVF discipline: the quantizer trains on a
+    // sample, the full corpus only gets ASSIGNED once) — at corpus
+    // scale set trainModulus ~ n / 100k so each Lloyd round scans a
+    // bounded slice instead of the whole table
+    val train =
+      if (trainModulus <= 1) e
+      else e.filter(pmod(xxhash64(col("vec_id"), lit(seed + 1)), lit(trainModulus)) === 0)
+    var cents: Array[Array[Double]] = train
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy("h").limit(nC)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
@@ -274,7 +282,7 @@ object EmbedOps {
     while (it < iters) {
       val cb = spark.sparkContext.broadcast(cents)
       val cellU = udf((v: Seq[Double]) => nearestCell(cb.value, v))
-      val means = e.select(cellU(col("v")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      val means = train.select(cellU(col("v")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
         .collect()
       val next = cents.map(_.clone())
@@ -326,10 +334,10 @@ object EmbedOps {
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
       nC: Int = 16, nprobe: Int = 4, iters: Int = 5,
-      maxBroadcastVectors: Long = 1000000L): DataFrame = {
+      maxBroadcastVectors: Long = 1000000L, trainModulus: Int = 1): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val cents = kmeansCentroids(spark, e, nC, iters)
+    val cents = kmeansCentroids(spark, e, nC, iters, trainModulus = trainModulus)
     val cb = spark.sparkContext.broadcast(cents)
     val cellU = udf((v: Seq[Double]) => nearestCell(cb.value, v))
     val probeU = udf((v: Seq[Double]) => probeCells(cb.value, v, nprobe))

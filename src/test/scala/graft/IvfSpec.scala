@@ -20,6 +20,13 @@ class IvfSpec extends AnyFunSuite {
       s"missed=${(brute -- ivf).take(5)} extra=${(ivf -- brute).take(5)}")
   }
 
+  test("sampled codebook training (trainModulus > 1) keeps full-probe exactness") {
+    // the codebook only shapes COVERAGE; with every cell probed the
+    // candidate set is all-pairs regardless of where centroids landed
+    val ivf = rows(EmbedOps.ivfTopK(spark, dir, nC = 8, nprobe = 8, trainModulus = 4))
+    assert(ivf == brute)
+  }
+
   test("k-means is deterministic: same seed twice gives identical codebooks and results") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
