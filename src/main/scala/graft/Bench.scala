@@ -305,6 +305,8 @@ object Bench {
       "topk_per_group" -> minOf2(graft.ops.RelationalOps.topKPerGroup(spark32, sfDir).count()),
       "embed_ann" -> minOf2(graft.sim.EmbedOps.annTopK(spark32, sfDir).count()),
       "substr_dups" -> minOf2(graft.text.TextOps.substrDedup(spark32, sfDir, cfg).count()),
+      "substr_sa" -> minOf2(graft.text.TextOps.substrDedupSA(spark32, sfDir, cfg).count()),
+      "ivf_topk" -> minOf2(graft.sim.EmbedOps.ivfTopK(spark32, sfDir).count()),
       "cfl_rewrite" -> minOf2(graft.text.TextOps.cflRewrite(spark32, sfDir).count()),
       "chunk_fastcdc" -> minOf2(graft.ops.ChunkOps.chunkDocs(spark32, sfDir, "fastcdc").count()),
       "roundtrip_verify" -> {

@@ -256,37 +256,58 @@ object EmbedOps {
   }
 
   /** Deterministic Lloyd k-means coarse quantizer (cosine assignment):
-    * init = the nC vectors with the smallest xxhash64(vec_id)
-    * (seeded pseudo-random, replayable), then `iters` rounds of
-    * broadcast-assign + posexplode/groupBy mean update. Only the
-    * nC x dim centroid table ever reaches the driver — that is the
-    * IVF contract (the coarse codebook is small by design); vectors
-    * stay distributed throughout. Empty cells keep their previous
+    * ONE Spark job collects the bounded training sample (a
+    * deterministic 1/trainModulus hash-slice — classic IVF discipline:
+    * the quantizer trains on a sample, the full corpus only gets
+    * ASSIGNED once), then the Lloyd rounds run locally at the driver
+    * over the vec_id-sorted sample — nC*dim*|sample| flops per round,
+    * partition-invariant by construction. At corpus scale set
+    * trainModulus ~ n / 100k so the collected sample stays ~tens of MB
+    * (the codebook itself is nC x dim — tiny — either way). An earlier
+    * variant ran each Lloyd round as its own Spark job with a fresh
+    * UDF: ~9 s of scheduling+codegen overhead PER ROUND on data whose
+    * math takes milliseconds — measured 46 s for 5 rounds over 2k
+    * vectors, vs <1 s for this shape. Init = the nC sample vectors
+    * with the smallest mixed id hash; empty cells keep their previous
     * centroid. Returns cell -> centroid.
     */
   def kmeansCentroids(spark: SparkSession, e: DataFrame, nC: Int,
       iters: Int = 5, seed: Long = 42L, trainModulus: Int = 1): Array[Array[Double]] = {
-    // codebook training reads only a deterministic 1/trainModulus
-    // hash-sample (classic IVF discipline: the quantizer trains on a
-    // sample, the full corpus only gets ASSIGNED once) — at corpus
-    // scale set trainModulus ~ n / 100k so each Lloyd round scans a
-    // bounded slice instead of the whole table
+    import spark.implicits._
     val train =
       if (trainModulus <= 1) e
       else e.filter(pmod(xxhash64(col("vec_id"), lit(seed + 1)), lit(trainModulus)) === 0)
-    var cents: Array[Array[Double]] = train
-      .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
-      .orderBy("h").limit(nC)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val sample: Array[(Long, Array[Double])] =
+      train.select("vec_id", "v").as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(sample.length >= nC,
+      s"training sample (${sample.length}) smaller than nC ($nC): lower trainModulus or nC")
+    var cents: Array[Array[Double]] = sample
+      .map { case (id, v) => (Sig.mix64(id ^ seed), v) }
+      .sortBy(_._1).take(nC).map(_._2.clone())
     var it = 0
     while (it < iters) {
-      val cb = spark.sparkContext.broadcast(cents)
-      val cellU = udf((v: Seq[Double]) => nearestCell(cb.value, v))
-      val means = train.select(cellU(col("v")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
-        .collect()
+      val sums = Array.fill(nC)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](nC)
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)._2
+        val c = nearestCell(cents, v)
+        val s = sums(c)
+        var d = 0
+        val n = math.min(s.length, v.length)
+        while (d < n) { s(d) += v(d); d += 1 }
+        counts(c) += 1
+        i += 1
+      }
       val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      var c = 0
+      while (c < nC) {
+        if (counts(c) > 0) {
+          var d = 0
+          while (d < next(c).length) { next(c)(d) = sums(c)(d) / counts(c); d += 1 }
+        }
+        c += 1
+      }
       cents = next
       it += 1
     }
