@@ -464,14 +464,25 @@ object TextOps extends Serializable {
       .as[(String, Long, String)]
       .groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
-        val shard = rows.map(r => (r._2, r._3)).toArray
-        val texts = shard.map(_._2)
-        SuffixArrays.containmentPairs(texts).iterator.map { case (i, j) =>
-          val a = shard(i)._1; val b = shard(j)._1
-          (math.min(a, b), math.max(a, b))
-        }.distinct
-        // no cross-shard dups possible: a doc lives in ONE source shard,
-        // so no post-group distinct (and no second shuffle) is needed
+        // build the GSA over DISTINCT texts only: identical copies are
+        // the common case in a dedup corpus, and each copy would both
+        // bloat the SA and force a wasted LCP-interval rescan (equal
+        // texts never pair). Containment is a property of the TEXTS,
+        // so pairs expand across the duplicate groups afterwards —
+        // that expansion is output-sized, exactly what the oracle's
+        // quadratic join emits.
+        val byText = rows.map(r => (r._2, r._3)).toArray
+          .groupBy(_._2).map { case (t, g) => (t, g.map(_._1)) }.toArray
+        val texts = byText.map(_._1)
+        val ids = byText.map(_._2)
+        SuffixArrays.containmentPairs(texts).iterator.flatMap { case (i, j) =>
+          for (a <- ids(i).iterator; b <- ids(j))
+            yield (math.min(a, b), math.max(a, b))
+        }
+        // no dups possible: containment is one-directional (strictly
+        // shorter in longer), texts are distinct, and a doc lives in
+        // ONE source shard — so no post-group distinct (and no second
+        // shuffle) is needed
       }
       .toDF("id1", "id2")
   }

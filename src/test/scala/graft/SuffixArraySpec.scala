@@ -79,6 +79,25 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate-heavy shard: distinct-text GSA expands pairs across copy groups exactly") {
+    import spark.implicits._
+    // 4 copies of a short text, 3 copies of a long container, 2 inert
+    // docs; every (short-copy, long-copy) pair must appear, no
+    // (copy, copy) pairs. Texts must clear substrMinChars (39).
+    val short = "the quick brown fox jumps over the lazy dog today"
+    val long = "prefix padding then " + short + " and a tail that makes it longer"
+    val rows = (1L to 4L).map(i => (i, short, "en", "s1", short.length.toLong)) ++
+      (11L to 13L).map(i => (i, long, "en", "s1", long.length.toLong)) ++
+      Seq((21L, "a completely unrelated caption of sufficient length here", "en", "s1", 57L))
+    val dir = java.nio.file.Files.createTempDirectory("sa-dup").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.substrDedupSA(spark, dir, cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (a <- 1L to 4L; b <- 11L to 13L) yield (a, b)).toSet
+    assert(got == want, s"got=$got")
+  }
+
   test("substrDedupSA == local brute force on sf0.001; superset of the df-pruned winnowing path") {
     val local = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source", "text").collect()
