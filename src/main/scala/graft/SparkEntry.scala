@@ -73,6 +73,7 @@ object SparkEntry {
     "q_simhash_dedup" -> ((s, d) => TextOps.simhashDedup(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardDedup(s, d)),
     "q_ngram_exact" -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
+    "q_ngram_pruned" -> ((s, d) => TextOps.ngramJaccardPruned(s, d)),
     // --- embedding similarity search ---
     "q_embed_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "q_embed_ann" -> ((s, d) => EmbedOps.annTopK(s, d)),
@@ -232,6 +233,30 @@ object SparkEntry {
         |sh AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, shared, c1.n + c2.n - shared AS union_sz
+        |FROM sh JOIN c c1 ON sh.id1 = c1.doc_id
+        |        JOIN c c2 ON sh.id2 = c2.doc_id
+        |WHERE shared * 5 >= (c1.n + c2.n) * 2""".stripMargin,
+    // df-pruned exact trigram Jaccard: the HAVING prune on posting
+    // lists mirrors the engine's df filter EXACTLY; candidates come
+    // only from surviving grams, scores recompute over FULL gram sets.
+    "q_ngram_pruned" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, substring(t, i, 3) AS gram
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, length(t) - 2)) AS i
+        |        FROM d WHERE length(t) >= 3)),
+        |c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |keep AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) <= 64),
+        |k AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |sh AS (
+        |  SELECT cd.id1, cd.id2, count(*) AS shared
+        |  FROM cand cd JOIN g ga ON ga.doc_id = cd.id1
+        |               JOIN g gb ON gb.doc_id = cd.id2 AND gb.gram = ga.gram
         |  GROUP BY 1, 2)
         |SELECT id1, id2, shared, c1.n + c2.n - shared AS union_sz
         |FROM sh JOIN c c1 ON sh.id1 = c1.doc_id

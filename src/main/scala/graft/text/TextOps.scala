@@ -371,6 +371,49 @@ object TextOps extends Serializable {
         (col("n1") + col("n2") - col("shared")).as("union_sz"))
   }
 
+  /** The df-PRUNED scale form of [[ngramJaccardExact]] — the knob that
+    * query only documents, made live: posting lists of grams with
+    * document frequency above `dfCap` are dropped BEFORE the pairing
+    * self-join (destor's CAP capping applied to an inverted index), so
+    * pair-generation cost is O(postings * dfCap) instead of Σ df².
+    * Surviving candidate pairs are then re-scored EXACTLY over the
+    * FULL (unpruned) gram sets — the recompute join is reordered
+    * candidate-first, so its cost is bounded by the candidate list,
+    * never by df² — and the same integer-arithmetic threshold emits
+    * the same bit-stable (id1, id2, shared, union_sz) row shape.
+    * Recall loss is confined to pairs whose EVERY shared gram is
+    * boilerplate-hot (the substrDedup discipline); the DuckDB oracle
+    * applies the identical HAVING prune so the query stays
+    * hash-matched. */
+  def ngramJaccardPruned(spark: SparkSession, dir: String, dfCap: Int = 64): DataFrame = {
+    val grams = docs(spark, dir)
+      .withColumn("t", lower(col("text")))
+      .filter(length(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))).as("gram"))
+    val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val kept = grams.join(
+      grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("gram"),
+      "gram")
+    val cand = kept.toDF("gram", "id1").join(kept.toDF("gram", "id2"), "gram")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    // exact recompute over FULL gram sets, candidate-first join order:
+    // cand x grams(id1) is Σ_cand n1 rows, then a keyed equi-join on
+    // (id2, gram) — candidate-bounded, never df²-bounded
+    val shared = cand
+      .join(grams.toDF("id1", "gram"), "id1")
+      .join(grams.toDF("id2", "gram"), Seq("id2", "gram"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.toDF("id1", "n1"), "id1")
+      .join(cnt.toDF("id2", "n2"), "id2")
+      .filter(col("shared") * 5 >= (col("n1") + col("n2")) * 2)
+      .select(col("id1"), col("id2"), col("shared"),
+        (col("n1") + col("n2") - col("shared")).as("union_sz"))
+  }
+
   /** Exact substring-containment dups WITHIN each source shard:
     * winnowing fingerprints (Schleimer et al. SIGMOD'03) guarantee a
     * shared fingerprint for any contained text >= substrMinChars;

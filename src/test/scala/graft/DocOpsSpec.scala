@@ -187,6 +187,70 @@ class DocOpsSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 >= 100L && p._2 < 120L))
   }
 
+  test("ngram df-prune: planted mega-gram corpus pruned identically to a same-semantics brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val cap = 8
+    def triSet(t: String): Set[String] =
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+    val docs0 = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    // mega-gram group: 20 docs made ONLY of the same 3 hot trigrams
+    // (every shared gram has df > cap) — near-identical, but every
+    // candidate route is pruned
+    for (i <- 0 until 20) docs0 += ((100L + i, "abcabcabc" + ("abc" * (i % 3 + 1))))
+    // a cold near-dup pair: long shared unique text
+    docs0 += ((300L, "zqwxv unique shared payload kjhgf"))
+    docs0 += ((301L, "zqwxv unique shared payload kjhgr"))
+    val dirT = java.nio.file.Files.createTempDirectory("graft-ngramp").toString
+    docs0.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dirT/documents.parquet")
+
+    val got = TextOps.ngramJaccardPruned(spark, dirT, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // brute force of the same semantics: candidates via df<=cap grams,
+    // scores over full sets, integer threshold
+    val sets = docs0.toSeq.map { case (id, t) => (id, triSet(t.toLowerCase)) }
+    val df = sets.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val want = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      (id1, s1) = sets(i)
+      (id2, s2) = sets(j)
+      (a, b) = if (id1 < id2) ((id1, s1), (id2, s2)) else ((id2, s2), (id1, s1))
+      if a._2.intersect(b._2).exists(g => df(g) <= cap)
+      shared = a._2.intersect(b._2).size
+      if shared * 5 >= (a._2.size + b._2.size) * 2
+    } yield (a._1, b._1, shared.toLong, (a._2.size + b._2.size - shared).toLong)).toSet
+
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // the cold pair survives with exact full-set stats
+    assert(got.exists(p => p._1 == 300L && p._2 == 301L))
+    // the mega-gram group contributes zero pairs despite near-identity
+    assert(!got.exists(p => p._1 >= 100L && p._1 < 120L && p._2 < 120L))
+  }
+
+  test("ngram pruned ⊆ exact on the test corpus; every dropped pair is hot-gram-only") {
+    val exact = TextOps.ngramJaccardExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = TextOps.ngramJaccardPruned(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.subsetOf(exact), s"pruned invented pairs: ${(pruned -- exact).take(5)}")
+    if ((exact -- pruned).nonEmpty) {
+      def triSet(t: String): Set[String] =
+        if (t.length < 3) Set.empty else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+      val texts = docLocal.map { case (id, t) => id -> t.toLowerCase }.toMap
+      val df = texts.values.toSeq.flatMap(triSet).groupBy(identity).view.mapValues(_.size).toMap
+      for ((a, b) <- exact -- pruned) {
+        val hotOnly = triSet(texts(a)).intersect(triSet(texts(b))).forall(g => df(g) > 64)
+        assert(hotOnly, s"pair ($a,$b) dropped but has a cold shared gram")
+      }
+    }
+  }
+
   test("ANN recall@5 vs brute-force cosine top-5") {
     val bf = EmbedOps.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
