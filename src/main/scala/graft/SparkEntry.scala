@@ -81,6 +81,10 @@ object SparkEntry {
     // rows-only by design (k-means codebook is not SQL-expressible);
     // exact oracle in IvfSpec: nprobe == nC reproduces q_embed_topk
     "q_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(s, d)),
+    "q_embed_dups" -> ((s, d) => EmbedOps.cosineDups(s, d)),
+    // rows-only by design (connected components is iterative); exact
+    // union-find oracle + recall/precision gates in DocOpsSpec
+    "q_embed_clusters" -> ((s, d) => EmbedOps.embedDedup(s, d)),
     // --- the image near-dup pipeline on the synthetic corpus ---
     "q_img_clusters" -> ((s, d) =>
       DedupPipeline.run(CorpusGen.generate(s, groupsFor(d)), cfg).toDF()),
@@ -396,6 +400,16 @@ object SparkEntry {
         |SELECT vec_id, neighbor_id, CAST(rk AS INTEGER) AS rk, cos FROM (
         | SELECT *, row_number() OVER (PARTITION BY vec_id
         |   ORDER BY cos DESC, neighbor_id) AS rk FROM p) WHERE rk <= 5""".stripMargin,
+    // Embedding-cosine near-dup pairs: same list_cosine_similarity +
+    // round-6 parity as q_embed_topk, thresholded on the ROUNDED score
+    // exactly as the engine does.
+    "q_embed_dups" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, cos FROM p WHERE cos >= 0.35""".stripMargin,
     // Same list_cosine_similarity parity trick as q_embed_topk; the
     // per-label centroid is a plain per-dimension mean, and the
     // round-6 + min-label tie-break makes the argmax engine-stable.

@@ -279,6 +279,101 @@ class DocOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("embedding cosine dups == brute-force threshold pairs (exact set + score equality)") {
+    val data = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / math.sqrt(na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (for {
+      i <- data.indices.iterator
+      j <- (i + 1) until data.length
+      (id1, v1) = data(i)
+      (id2, v2) = data(j)
+      (a, b) = if (id1 < id2) (id1, id2) else (id2, id1)
+      c = cosR(v1, v2)
+      if c >= 0.35
+    } yield (a, b, c)).toSet
+    val got = EmbedOps.cosineDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "threshold too high: trivial empty oracle")
+  }
+
+  test("embedding near-dup clusters: planted groups exact; sf corpus refines exact clusters with recall >= 0.95") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // union-find over a pair set
+    def cluster(ids: Seq[Long], pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      val p = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (p(r) != r) r = p(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) p(rb) = ra else p(ra) = rb }
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / math.sqrt(na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // planted corpus: 10 groups of 3 near-identical vectors (cos ~0.999)
+    // + 10 singletons, deterministic
+    val rnd = new java.util.Random(7L)
+    def unit(): Array[Double] = Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val planted = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    for (g <- 0 until 10) {
+      val base = unit()
+      for (m <- 0 until 3)
+        planted += ((g * 10L + m, base.map(_ + 0.05 * rnd.nextGaussian())))
+    }
+    for (s <- 0 until 10) planted += ((1000L + s, unit()))
+    val dirT = java.nio.file.Files.createTempDirectory("graft-embdd").toString
+    planted.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dirT/embeddings.parquet")
+    val exactPlanted = (for {
+      i <- planted.indices.iterator
+      j <- (i + 1) until planted.length
+      if cosR(planted(i)._2, planted(j)._2) >= 0.9
+    } yield {
+      val (a, b) = (planted(i)._1, planted(j)._1)
+      if (a < b) (a, b) else (b, a)
+    }).toSet
+    val wantPlanted = cluster(planted.map(_._1).toSeq, exactPlanted)
+    val gotPlanted = EmbedOps.embedDedup(spark, dirT, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // at cos ~0.999 the 16x3-bit collision bound makes a missed pair
+    // ~1e-9: clusters must be EXACTLY the union-find over exact pairs
+    assert(gotPlanted == wantPlanted,
+      s"diff=${(wantPlanted.toSet -- gotPlanted.toSet).take(5)}")
+
+    // sf corpus (near-random, tau at the default 0.35): every engine
+    // merge must be justified by an exact pair (refinement = precision
+    // 1.0 through transitivity), and >= 95% of exact pairs co-cluster
+    val exactSf = EmbedOps.cosineDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val wantSf = cluster(ids, exactSf)
+    val gotSf = EmbedOps.embedDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    for ((id, c) <- gotSf; (id2, c2) <- gotSf if c == c2 && id < id2)
+      assert(wantSf(id) == wantSf(id2), s"false merge: $id,$id2")
+    val recall = exactSf.count { case (a, b) => gotSf(a) == gotSf(b) }.toDouble / exactSf.size
+    info(f"embed near-dup pair recall = $recall%.3f over ${exactSf.size} exact pairs")
+    assert(recall >= 0.95, s"recall too low: $recall")
+
+    // the scale path (broadcast gate forced off -> co-partitioned
+    // shuffle-hash verify) must produce identical clusters
+    val gotJoin = EmbedOps.embedDedup(spark, dir, maxBroadcastVectors = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotJoin == gotSf, "scale-path clusters differ from broadcast-path clusters")
+  }
+
   test("nearest centroid matches exact local recomputation") {
     val rows = EmbedOps.nearestCentroid(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(2))).toMap
