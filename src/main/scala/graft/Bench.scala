@@ -307,6 +307,8 @@ object Bench {
       "substr_dups" -> minOf2(graft.text.TextOps.substrDedup(spark32, sfDir, cfg).count()),
       "substr_sa" -> minOf2(graft.text.TextOps.substrDedupSA(spark32, sfDir, cfg).count()),
       "ivf_topk" -> minOf2(graft.sim.EmbedOps.ivfTopK(spark32, sfDir).count()),
+      "ngram_pruned" -> minOf2(graft.text.TextOps.ngramJaccardPruned(spark32, sfDir).count()),
+      "embed_clusters" -> minOf2(graft.sim.EmbedOps.embedDedup(spark32, sfDir).count()),
       "cfl_rewrite" -> minOf2(graft.text.TextOps.cflRewrite(spark32, sfDir).count()),
       "chunk_fastcdc" -> minOf2(graft.ops.ChunkOps.chunkDocs(spark32, sfDir, "fastcdc").count()),
       "roundtrip_verify" -> {
