@@ -128,19 +128,31 @@ object Bench {
   private val RetiredPairFamilies = Seq("chunk", "chunkjvm", "headline8")
 
   /** Move retired-family samples out of the live ledger (idempotent;
-    * runs once per bench invocation before the ledger is read). */
+    * runs once per bench invocation before the ledger is read).
+    * Crash-safe ordering: the pruned LIVE ledger is written first via
+    * tmp+atomic-rename, the retired lines appended after — a crash
+    * between the two loses the crashing run's retired lines from the
+    * audit file but can never duplicate them there (the live ledger no
+    * longer contains them, so a retried run re-partitions nothing),
+    * and the rename means the live ledger is never observable
+    * half-written. */
   private def ledgerRetire(): Unit = {
     if (!java.nio.file.Files.exists(LedgerPath)) return
-    val lines = scala.io.Source.fromFile(LedgerPath.toFile).getLines().toSeq
+    val src = scala.io.Source.fromFile(LedgerPath.toFile)
+    val lines = try src.getLines().toSeq finally src.close()
     val (retired, live) = lines.partition(l =>
       RetiredPairFamilies.exists(f => l.contains("\"pair\":\"" + f + ":")))
     if (retired.isEmpty) return
+    val tmp = LedgerPath.resolveSibling("samples.jsonl.tmp")
+    java.nio.file.Files.writeString(tmp,
+      if (live.isEmpty) "" else live.mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp, LedgerPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.writeString(RetiredLedgerPath,
       retired.mkString("", "\n", "\n"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    java.nio.file.Files.writeString(LedgerPath,
-      if (live.isEmpty) "" else live.mkString("", "\n", "\n"))
   }
 
   /** Append this run's reps to the persistent sample ledger. */

@@ -198,9 +198,12 @@ object RestoreOps {
     * On a correct store: all_restored=1, psnr_violations=0,
     * caption_violations=0 at ANY corpus size.
     *
-    * ONE job: a left join from originals to restored rows feeds a
-    * single decode+verify pass that also counts coverage (a missing
-    * restored row is a null right side), replacing the round-2 shape
+    * ONE job: a FULL OUTER join between originals and restored rows
+    * feeds a single decode+verify pass that also counts coverage both
+    * ways — a missing restored row is a null right side, a PHANTOM
+    * restored row (an id the original table never had — a stale or
+    * corrupt restore output) is a null left side and fails
+    * all_restored just like a missing one. Replaces the round-2 shape
     * of two standalone count actions + a separate violations
     * aggregation (three jobs, two of them re-reading `restored`). */
   def roundtripReport(
@@ -212,13 +215,13 @@ object RestoreOps {
     images.select(col("image_id"), col("bytes").as("o_bytes"), col("fmt").as("o_fmt"),
         col("caption").as("o_caption"))
       .join(restored.select(col("image_id"), col("bytes").as("r_bytes"),
-        col("fmt").as("r_fmt"), col("caption").as("r_caption")), Seq("image_id"), "left")
+        col("fmt").as("r_fmt"), col("caption").as("r_caption")), Seq("image_id"), "full")
       .select("o_bytes", "o_fmt", "o_caption", "r_bytes", "r_fmt", "r_caption")
       .as[(Array[Byte], String, String, Array[Byte], String, String)]
       .mapPartitions { it =>
         var pv = 0L; var cv = 0L; var missing = 0L
         it.foreach { case (ob, of, oc, rb, rf, rc) =>
-          if (rb == null) missing += 1
+          if (rb == null || ob == null) missing += 1
           else {
             if (Codec.psnr(Codec.decode(ob, of), Codec.decode(rb, rf)) < cfg.psnrMin) pv += 1
             if (oc != rc) cv += 1

@@ -27,12 +27,13 @@ final class TableIO(spark: SparkSession, baseDir: String) {
   private def tablePath(t: String) = new Path(baseDir, t)
   private def manifestPath(t: String) = new Path(tablePath(t), "_MANIFEST.json")
 
-  /** Per-data-file row counts of a published table, from parquet footer
-    * metadata only (no Spark job, no data pages read). */
-  def fileCounts(table: String): Seq[(String, Long)] = {
+  /** Per-data-file row counts under one directory, from parquet footer
+    * metadata only (driver-side, no Spark job, no data pages read) —
+    * the single implementation behind every footer-based count here. */
+  private def footerCounts(dir: Path): Seq[(String, Long)] = {
     val f = fs
     val conf = spark.sparkContext.hadoopConfiguration
-    f.listStatus(tablePath(table)).toSeq
+    f.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
       .map { s =>
@@ -42,6 +43,11 @@ final class TableIO(spark: SparkSession, baseDir: String) {
         finally reader.close()
       }
   }
+
+  /** Per-data-file row counts of a published table, from parquet footer
+    * metadata only (no Spark job, no data pages read). */
+  def fileCounts(table: String): Seq[(String, Long)] =
+    footerCounts(tablePath(table))
 
   def publish(df: DataFrame, table: String, configHash: String, runId: String): Long =
     publishWithFiles(df, table, configHash, runId)._1
@@ -142,14 +148,7 @@ final class TableIO(spark: SparkSession, baseDir: String) {
     if (!f.rename(tmp, dest))
       throw new java.io.IOException(s"batch append failed: $tmp -> $dest")
     writeStoreManifest(table, batches(table) :+ runId)
-    val conf = spark.sparkContext.hadoopConfiguration
-    f.listStatus(dest).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try reader.getRecordCount finally reader.close()
-      }.sum
+    footerCounts(dest).map(_._2).sum
   }
 
   /** Replace one committed batch's data in place (index-entry reclaim:
@@ -180,17 +179,8 @@ final class TableIO(spark: SparkSession, baseDir: String) {
 
   /** Row count of one committed batch from parquet FOOTERS only —
     * driver-side metadata reads, no Spark job. */
-  def batchRowCount(table: String, runId: String): Long = {
-    val f = fs
-    val conf = spark.sparkContext.hadoopConfiguration
-    f.listStatus(batchPath(table, runId)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try reader.getRecordCount finally reader.close()
-      }.sum
-  }
+  def batchRowCount(table: String, runId: String): Long =
+    footerCounts(batchPath(table, runId)).map(_._2).sum
 
   /** Read the whole store (union of committed batches). */
   def readBatches(table: String): DataFrame = {

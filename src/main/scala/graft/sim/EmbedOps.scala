@@ -96,7 +96,7 @@ object EmbedOps {
     * the driver, so the path has no memory ceiling at corpus scale. */
   def annTopK(spark: SparkSession, dir: String, k: Int = 5,
       tables: Int = 16, kBits: Int = 4,
-      maxBroadcastVectors: Long = 1000000L): DataFrame = {
+      maxBroadcastVectors: Long = 200000L): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     val codesU = bandCodesUdf(spark, tables, kBits)
@@ -186,14 +186,24 @@ object EmbedOps {
           it.map { case (i, j) => (i, j, cosRounded(m(i), m(j))) }
         }
         .toDF("id1", "id2", "cos")
-    } else {
-      dd.join(e.select(col("vec_id").as("id2"), col("v").as("vb")).hint("shuffle_hash"), "id2")
-        .join(e.select(col("vec_id").as("id1"), col("v").as("va")).hint("shuffle_hash"), "id1")
-        .select(col("id1"), col("id2"), col("va"), col("vb"))
-        .as[(Long, Long, Array[Double], Array[Double])]
-        .mapPartitions(_.map { case (i, j, va, vb) => (i, j, cosRounded(va, vb)) })
-        .toDF("id1", "id2", "cos")
-    }
+    } else joinScores(spark, e, dd)
+  }
+
+  /** Exact rounded-cosine over an already-DEDUPED (id1, id2) pair
+    * stream via co-partitioned shuffle-hash joins — THE shared
+    * no-driver-ceiling resolution both scale paths use
+    * ([[exactPairScores]] above the broadcast gate, [[rerankTopK]]'s
+    * join branch), so the bit-identical-accumulation invariant lives
+    * in exactly one place: vectors resolved per side on the pair key,
+    * cosine in the same primitive loop as the broadcast path. */
+  private def joinScores(spark: SparkSession, e: DataFrame, dd: DataFrame): DataFrame = {
+    import spark.implicits._
+    dd.join(e.select(col("vec_id").as("id2"), col("v").as("vb")).hint("shuffle_hash"), "id2")
+      .join(e.select(col("vec_id").as("id1"), col("v").as("va")).hint("shuffle_hash"), "id1")
+      .select(col("id1"), col("id2"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (i, j, va, vb) => (i, j, cosRounded(va, vb)) })
+      .toDF("id1", "id2", "cos")
   }
 
   /** Embedding-cosine near-dup CLUSTERS — the dedup-family member the
@@ -213,7 +223,7 @@ object EmbedOps {
     * pipeline's cluster table. */
   def embedDedup(spark: SparkSession, dir: String, tau: Double = 0.35,
       tables: Int = 16, kBits: Int = 3,
-      maxBroadcastVectors: Long = 1000000L): DataFrame = {
+      maxBroadcastVectors: Long = 200000L): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     val codesU = bandCodesUdf(spark, tables, kBits)
@@ -313,14 +323,10 @@ object EmbedOps {
       // fast path, and the final top-k is a window over narrow
       // (vec_id, neighbor_id, cos) rows — ranks identical to the fast
       // path by the shared rounding + (cos desc, neighbor asc) order.
-      val dd = rawPairs.groupBy("vec_id", "neighbor_id").agg(lit(1)).select("vec_id", "neighbor_id")
-      val scored = dd
-        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb")).hint("shuffle_hash"), "neighbor_id")
-        .join(e.select(col("vec_id"), col("v").as("va")).hint("shuffle_hash"), "vec_id")
-        .select(col("vec_id"), col("neighbor_id"), col("va"), col("vb"))
-        .as[(Long, Long, Array[Double], Array[Double])]
-        .mapPartitions(_.map { case (v, nb, va, vb) => (v, nb, cosRounded(va, vb)) })
-        .toDF("vec_id", "neighbor_id", "cos")
+      val dd = rawPairs.groupBy("vec_id", "neighbor_id").agg(lit(1))
+        .select(col("vec_id").as("id1"), col("neighbor_id").as("id2"))
+      val scored = joinScores(spark, e, dd)
+        .select(col("id1").as("vec_id"), col("id2").as("neighbor_id"), col("cos"))
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
       scored
         .withColumn("rk", row_number().over(w))
@@ -355,8 +361,9 @@ object EmbedOps {
     * the quantizer trains on a sample, the full corpus only gets
     * ASSIGNED once), then the Lloyd rounds run locally at the driver
     * over the vec_id-sorted sample — nC*dim*|sample| flops per round,
-    * partition-invariant by construction. At corpus scale set
-    * trainModulus ~ n / 100k so the collected sample stays ~tens of MB
+    * partition-invariant by construction. The sample is bounded by
+    * DEFAULT (trainModulus auto-derived from an id-only count, below)
+    * so the collected slice stays ~tens of MB at any corpus size
     * (the codebook itself is nC x dim — tiny — either way). An earlier
     * variant ran each Lloyd round as its own Spark job with a fresh
     * UDF: ~9 s of scheduling+codegen overhead PER ROUND on data whose
@@ -364,13 +371,27 @@ object EmbedOps {
     * vectors, vs <1 s for this shape. Init = the nC sample vectors
     * with the smallest mixed id hash; empty cells keep their previous
     * centroid. Returns cell -> centroid.
+    *
+    * trainModulus <= 0 (the default) SELF-GATES: an id-only count
+    * derives the modulus so the expected collected sample stays under
+    * `maxTrainVectors` rows (~64 MB of doubles at the default) — the
+    * training collect gets the same no-driver-ceiling discipline as
+    * the re-rank's broadcast gate, instead of trusting the caller to
+    * know the corpus size. An explicit modulus is honored verbatim.
     */
   def kmeansCentroids(spark: SparkSession, e: DataFrame, nC: Int,
-      iters: Int = 5, seed: Long = 42L, trainModulus: Int = 1): Array[Array[Double]] = {
+      iters: Int = 5, seed: Long = 42L, trainModulus: Int = 0,
+      maxTrainVectors: Int = 131072): Array[Array[Double]] = {
     import spark.implicits._
+    val modulus =
+      if (trainModulus > 0) trainModulus
+      else {
+        val n = e.select("vec_id").count()
+        math.max(1L, (n + maxTrainVectors - 1) / maxTrainVectors).toInt
+      }
     val train =
-      if (trainModulus <= 1) e
-      else e.filter(pmod(xxhash64(col("vec_id"), lit(seed + 1)), lit(trainModulus)) === 0)
+      if (modulus <= 1) e
+      else e.filter(pmod(xxhash64(col("vec_id"), lit(seed + 1)), lit(modulus)) === 0)
     val sample: Array[(Long, Array[Double])] =
       train.select("vec_id", "v").as[(Long, Array[Double])].collect().sortBy(_._1)
     require(sample.length >= nC,
@@ -449,7 +470,7 @@ object EmbedOps {
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
       nC: Int = 16, nprobe: Int = 4, iters: Int = 5,
-      maxBroadcastVectors: Long = 1000000L, trainModulus: Int = 1): DataFrame = {
+      maxBroadcastVectors: Long = 200000L, trainModulus: Int = 0): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     val cents = kmeansCentroids(spark, e, nC, iters, trainModulus = trainModulus)

@@ -468,8 +468,13 @@ object TextOps extends Serializable {
       .filter(col("df") <= cfg.substrDfCap)
       .select(col("doc_id"), col("source").as("band"), col("fp").as("bucket"))
     // buckets are <= dfCap members post-prune, so the expander is
-    // all-pairs everywhere (the cap argument is just its buffer bound)
-    val cand = graft.ops.PairGen.bucketPairsLong(postings, cfg.substrDfCap)
+    // all-pairs everywhere (the cap argument is just its buffer bound).
+    // The expander keys runs on a 64-bit hash of (source, fp): TWO
+    // pruned buckets colliding would merge into one run of <= 2*dfCap,
+    // so the cap is 2*dfCap to keep that run all-pairs (no star
+    // fallback = no lost oracle pairs); only a >= triple collision
+    // (~2^-128 per bucket triple) could still star
+    val cand = graft.ops.PairGen.bucketPairsLong(postings, 2 * cfg.substrDfCap)
     val t1 = d.select(col("doc_id").as("id1"), col("t").as("tx1"), col("source").as("src1"))
     val t2 = d.select(col("doc_id").as("id2"), col("t").as("tx2"), col("source").as("src2"))
     cand.join(t1, "id1").join(t2, "id2")

@@ -44,8 +44,12 @@ class RestoreSpec extends AnyFunSuite {
     assert(rep.length == 1)
     assert(rep(0).getLong(0) == 0 && rep(0).getLong(1) == 0 && rep(0).getLong(2) == 1)
     // round-2 ran images.count + restored.distinct.count + a violations
-    // aggregation (3+ actions); the report is now one query
-    assert(jobs <= 3, s"report ran $jobs jobs")
+    // aggregation (3+ actions); the report is now ONE query. The full
+    // outer join (needed to catch phantom restored rows) can't
+    // broadcast, so AQE surfaces one more stage-job than the old left
+    // join did at sf-small scale — at corpus scale both sides shuffle
+    // either way, so the budget is 4, not 3
+    assert(jobs <= 4, s"report ran $jobs jobs")
     // coverage rides the same pass: a missing restored row flips
     // all_restored with no extra count action
     val first = images.first().image_id
@@ -53,6 +57,13 @@ class RestoreSpec extends AnyFunSuite {
       restored.filter(col("image_id") =!= first), cfg).collect()(0)
     assert(rep2.getLong(2) == 0)
     assert(rep2.getLong(0) == 0 && rep2.getLong(1) == 0)
+    // ... and so does a PHANTOM restored row (an id the originals never
+    // had — a stale/corrupt restore output must not report clean)
+    val phantom = restored.limit(1)
+      .withColumn("image_id", concat(col("image_id"), lit("#ghost")))
+    val rep3 = RestoreOps.roundtripReport(images, restored.union(phantom), cfg).collect()(0)
+    assert(rep3.getLong(2) == 0, "phantom restored row not detected")
+    assert(rep3.getLong(0) == 0 && rep3.getLong(1) == 0)
     images.unpersist(); restored.unpersist()
   }
 
