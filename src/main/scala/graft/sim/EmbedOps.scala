@@ -399,6 +399,11 @@ object EmbedOps {
     var cents: Array[Array[Double]] = sample
       .map { case (id, v) => (Sig.mix64(id ^ seed), v) }
       .sortBy(_._1).take(nC).map(_._2.clone())
+    // wrap each sample vector ONCE (nearestCell takes Seq for the UDF
+    // callers; the implicit Array->IndexedSeq conversion would copy
+    // every vector on every Lloyd round)
+    val wrapped: Array[Seq[Double]] =
+      sample.map(s => scala.collection.immutable.ArraySeq.unsafeWrapArray(s._2))
     var it = 0
     while (it < iters) {
       val sums = Array.fill(nC)(new Array[Double](cents(0).length))
@@ -406,7 +411,7 @@ object EmbedOps {
       var i = 0
       while (i < sample.length) {
         val v = sample(i)._2
-        val c = nearestCell(cents, v)
+        val c = nearestCell(cents, wrapped(i))
         val s = sums(c)
         var d = 0
         val n = math.min(s.length, v.length)
