@@ -1,0 +1,144 @@
+package graft
+
+import graft.core.{ConfigParser, DedupConfig, ImageRow, Sessions, VerifiedPair}
+import graft.pipeline.{IncrementalDedup, RestoreOps, Retention, TableIO}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The destor-shaped command-line surface over the persistent store —
+  * the job loop a reference user drives (`destor /path`, `-r`, `-s`,
+  * `-t`, `-p"config line"`: reference src/destor.c:34-54 usage, job
+  * dispatch :260-360), recast over the incremental index stores:
+  *
+  * {{{
+  * backup  <storeDir> <batch.parquet> --id <runId>   ingest one batch
+  * restore <storeDir> <runId|all> <outDir>           rebuild rows + verify
+  * delete  <storeDir> <runId>[,<runId>...]           expire batches (GC)
+  * stats   <storeDir>                                store state (no job)
+  * trace   <dataDir> <outDir>                        make_trace analog
+  * }}}
+  *
+  * Shared options: `--config <file>` then any number of
+  * `-p "<key> <value>"` overrides (destor's -p), applied in order and
+  * validated once against the cross-knob guards; `--local <cores>`
+  * builds a local session (tests/sandbox) — without it the session
+  * comes from spark-submit via [[graft.core.Sessions.submit]].
+  *
+  * Each command returns its one-line job summary (destor's backup/
+  * restore log line analog); `main` prints it. */
+object Cli {
+
+  val usage: String =
+    """usage: graft.Cli <command> [options]
+      |  backup  <storeDir> <batch.parquet> --id <runId>
+      |  restore <storeDir> <runId|all> <outDir>
+      |  delete  <storeDir> <runId>[,<runId>...]
+      |  stats   <storeDir>
+      |  trace   <dataDir> <outDir>
+      |options: --config <file>   -p "<key> <value>"   --local <cores>""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val a = args.toSeq
+    val li = a.indexOf("--local")
+    val (spark, rest) =
+      if (li >= 0) (Sessions.local(a(li + 1).toInt, 32, "graft-cli"), a.patch(li, Nil, 2))
+      else (Sessions.submit("graft-cli"), a)
+    try println(run(rest, spark))
+    finally spark.stop()
+  }
+
+  /** Split config options out of the arg list and fold them into one
+    * DedupConfig (file first, -p lines after — later lines win, exactly
+    * destor's load_config ordering). */
+  private def config(args: Seq[String]): (DedupConfig, Seq[String]) = {
+    val text = new StringBuilder
+    var rest = Vector.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--config" =>
+          text.append(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(args(i + 1)))).append('\n')
+          i += 2
+        case "-p" =>
+          text.append(args(i + 1)).append('\n')
+          i += 2
+        case other =>
+          rest :+= other
+          i += 1
+      }
+    }
+    (if (text.isEmpty) DedupConfig.default else ConfigParser.parse(text.toString), rest)
+  }
+
+  def run(args0: Seq[String], spark: SparkSession): String = {
+    import spark.implicits._
+    val (cfg, args) = config(args0)
+    args match {
+
+      case Seq("backup", storeDir, input, "--id", runId) =>
+        val t0 = System.nanoTime
+        val inc = new IncrementalDedup(spark, storeDir, cfg)
+        val clusters = inc.ingest(spark.read.parquet(input).as[ImageRow], runId)
+        val n = inc.io.batchRowCount(IncrementalDedup.SigStore, runId)
+        val agg = clusters.agg(count(lit(1)), countDistinct(col("cluster_id"))).head()
+        val (total, nc) = (agg.getLong(0), agg.getLong(1))
+        val secs = (System.nanoTime - t0) / 1e9
+        f"backup $runId: $n images ingested in $secs%.1f s; corpus $total images in " +
+          f"$nc clusters (dedup ratio ${total.toDouble / nc}%.3f)"
+
+      case Seq("restore", storeDir, runId, outDir) =>
+        val io = new TableIO(spark, storeDir)
+        val imagesDf = io.readBatches(IncrementalDedup.ImagesStore)
+        require(imagesDf.columns.contains("bytes"),
+          "store was ingested signature-only (simulation); restore needs pixel data")
+        val images = imagesDf.as[ImageRow]
+        // content clusters from the published assignment (cluster_id is
+        // the component min = the representative's id), fidelity-repaired
+        // exactly like the one-shot round trip — the stored verified
+        // edges supply the measured-PSNR skip set
+        val cc0 = io.read(IncrementalDedup.ClustersTable)
+          .select(col("image_id"), col("cluster_id").as("content_id"))
+        val edges = RestoreOps.pixelEvidence(
+          io.readBatches(IncrementalDedup.EdgeStore).as[VerifiedPair], cfg)
+        val cc = RestoreOps.fidelityRepair(images, cc0, cfg, Some(edges))
+        val restoredAll = RestoreOps.restore(
+          RestoreOps.recipes(images, cc), RestoreOps.contentStore(images, cc))
+        val want =
+          if (runId == "all") images
+          else io.readBatch(IncrementalDedup.ImagesStore, runId).as[ImageRow]
+        restoredAll.join(want.select("image_id"), "image_id")
+          .write.mode("overwrite").parquet(outDir)
+        val rep = RestoreOps.roundtripReport(want, spark.read.parquet(outDir), cfg).head()
+        s"restore $runId -> $outDir: psnr_violations=${rep.getLong(0)} " +
+          s"caption_violations=${rep.getLong(1)} all_restored=${rep.getLong(2)}"
+
+      case Seq("delete", storeDir, runIds) =>
+        val ids = runIds.split(",").toSeq
+        val r = new Retention(spark, storeDir, cfg)
+          .expire(ids, s"gc-${ids.mkString("-")}")
+        s"delete ${r.droppedBatches.mkString(",")}: ${r.droppedImages} images dropped, " +
+          s"${r.reclaimedEdges} edges reclaimed, ${r.survivingImages} images survive"
+
+      case Seq("stats", storeDir) =>
+        // destor -s reads the stat file; here: manifests + parquet
+        // footers only — NO Spark job touches data
+        val io = new TableIO(spark, storeDir)
+        val ids = io.batches(IncrementalDedup.SigStore)
+        val per = ids.map(id =>
+          s"  $id: ${io.batchRowCount(IncrementalDedup.SigStore, id)} images, " +
+            s"${io.batchRowCount(IncrementalDedup.PostStore, id)} postings, " +
+            s"${io.batchRowCount(IncrementalDedup.EdgeStore, id)} edges")
+        val total = ids.map(io.batchRowCount(IncrementalDedup.SigStore, _)).sum
+        (s"store $storeDir: ${ids.length} batches, $total images" +: per).mkString("\n")
+
+      case Seq("trace", dataDir, outDir) =>
+        graft.sources.TraceSource.makeTrace(
+          graft.text.TextOps.docs(spark, dataDir), outDir)
+        val n = Option(new java.io.File(outDir).list()).map(_.length).getOrElse(0)
+        s"trace: wrote $n streams to $outDir"
+
+      case _ => usage
+    }
+  }
+}

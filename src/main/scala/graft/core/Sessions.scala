@@ -14,6 +14,27 @@ import org.apache.spark.sql.SparkSession
   * --jars) the default is equally unnecessary.
   */
 object Sessions {
+
+  /** Session for spark-submit runs: master, executors, memory, and
+    * local dirs come from the submit command / cluster conf — only the
+    * engine-required SQL preferences are set here (each is documented
+    * on the local builder below; they are deployment-appropriate, not
+    * sandbox workarounds). Uses getOrCreate, so a pre-configured
+    * session (e.g. from a notebook) wins on any conflicting key. */
+  def submit(appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.cleaner.periodicGC.interval", "45s")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def local(cores: Int, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")

@@ -1,0 +1,72 @@
+package graft
+
+import graft.synth.CorpusGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The destor-shaped job loop end-to-end: backup → stats → restore →
+  * delete over a persistent store, plus config-line plumbing. */
+class CliSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, 8, "cli-spec")
+
+  test("backup/stats/restore/delete job loop over a persistent store") {
+    val store = Files.createTempDirectory("graft-cli-store").toString
+    val data = Files.createTempDirectory("graft-cli-data").toString
+    val corpus = CorpusGen.generate(spark, 12).cache()
+    val idNum = substring(col("image_id"), 4, 10).cast("long")
+    corpus.filter(idNum % 2 === 0).write.parquet(s"$data/b1.parquet")
+    corpus.filter(idNum % 2 === 1).write.parquet(s"$data/b2.parquet")
+    val n1 = spark.read.parquet(s"$data/b1.parquet").count()
+    val n2 = spark.read.parquet(s"$data/b2.parquet").count()
+
+    val s1 = Cli.run(Seq("backup", store, s"$data/b1.parquet", "--id", "b1"), spark)
+    assert(s1.startsWith(s"backup b1: $n1 images"), s1)
+    val s2 = Cli.run(Seq("backup", store, s"$data/b2.parquet", "--id", "b2"), spark)
+    assert(s2.startsWith(s"backup b2: $n2 images"), s2)
+    assert(s2.contains(s"corpus ${n1 + n2} images"), s2)
+
+    val st = Cli.run(Seq("stats", store), spark)
+    assert(st.contains(s"2 batches, ${n1 + n2} images"), st)
+    assert(st.contains("b1:") && st.contains("b2:"), st)
+
+    // restore one batch: exact row coverage + clean fidelity report
+    val out1 = Files.createTempDirectory("graft-cli-out1").toString
+    val r1 = Cli.run(Seq("restore", store, "b1", out1), spark)
+    assert(r1.contains("psnr_violations=0") && r1.contains("caption_violations=0")
+      && r1.contains("all_restored=1"), r1)
+    assert(spark.read.parquet(out1).count() == n1)
+
+    // restore all
+    val outA = Files.createTempDirectory("graft-cli-outA").toString
+    val rA = Cli.run(Seq("restore", store, "all", outA), spark)
+    assert(rA.contains("all_restored=1"), rA)
+    assert(spark.read.parquet(outA).count() == n1 + n2)
+
+    val d = Cli.run(Seq("delete", store, "b1"), spark)
+    assert(d.contains(s"${n1} images dropped") && d.contains(s"${n2} images survive"), d)
+    val st2 = Cli.run(Seq("stats", store), spark)
+    assert(st2.contains(s"1 batches, $n2 images"), st2)
+
+    assert(Cli.run(Seq("bogus"), spark) == Cli.usage)
+    corpus.unpersist()
+  }
+
+  test("-p config lines reach the job: signature-only backup stores no bytes and refuses restore") {
+    val store = Files.createTempDirectory("graft-cli-sim").toString
+    val data = Files.createTempDirectory("graft-cli-simdata").toString
+    CorpusGen.generate(spark, 4).write.parquet(s"$data/b.parquet")
+    val s = Cli.run(Seq("backup", store, s"$data/b.parquet", "--id", "b1",
+      "-p", "signature-only on"), spark)
+    assert(s.startsWith("backup b1:"), s)
+    val stored = spark.read.parquet(
+      s"$store/${graft.pipeline.IncrementalDedup.ImagesStore}/batch-b1")
+    assert(!stored.columns.contains("bytes"), stored.columns.mkString(","))
+    val out = Files.createTempDirectory("graft-cli-simout").toString
+    val ex = intercept[IllegalArgumentException] {
+      Cli.run(Seq("restore", store, "b1", out), spark)
+    }
+    assert(ex.getMessage.contains("signature-only"), ex.getMessage)
+  }
+}
