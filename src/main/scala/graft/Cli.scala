@@ -37,43 +37,63 @@ object Cli {
       |  trace   <dataDir> <outDir>
       |options: --config <file>   -p "<key> <value>"   --local <cores>""".stripMargin
 
+  /** A malformed command line — caught in [[run]]/[[main]] and turned
+    * into the usage text instead of a stack trace. */
+  private final class BadArgs(msg: String) extends Exception(msg)
+
   def main(args: Array[String]): Unit = {
     val a = args.toSeq
     val li = a.indexOf("--local")
-    val (spark, rest) =
-      if (li >= 0) (Sessions.local(a(li + 1).toInt, 32, "graft-cli"), a.patch(li, Nil, 2))
-      else (Sessions.submit("graft-cli"), a)
+    val local =
+      if (li < 0) None
+      else if (li + 1 >= a.length) { println(s"--local needs a core count\n$usage"); return }
+      else a(li + 1).toIntOption match {
+        case None => println(s"--local needs a core count, got '${a(li + 1)}'\n$usage"); return
+        case some => some
+      }
+    val (spark, rest) = local match {
+      case Some(n) => (Sessions.local(n, 32, "graft-cli"), a.patch(li, Nil, 2))
+      case None => (Sessions.submit("graft-cli"), a)
+    }
     try println(run(rest, spark))
     finally spark.stop()
   }
 
   /** Split config options out of the arg list and fold them into one
-    * DedupConfig (file first, -p lines after — later lines win, exactly
-    * destor's load_config ordering). */
+    * DedupConfig. ALL --config files apply first, then ALL -p lines —
+    * in destor the -p overrides beat the config file regardless of
+    * argv position (load_config then load_config_from_string,
+    * src/destor.c:289-293), and ConfigParser is last-line-wins. */
   private def config(args: Seq[String]): (DedupConfig, Seq[String]) = {
-    val text = new StringBuilder
+    val files = new StringBuilder
+    val plines = new StringBuilder
     var rest = Vector.empty[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--config" =>
-          text.append(java.nio.file.Files.readString(
+          if (i + 1 >= args.length) throw new BadArgs("--config needs a file path")
+          files.append(java.nio.file.Files.readString(
             java.nio.file.Paths.get(args(i + 1)))).append('\n')
           i += 2
         case "-p" =>
-          text.append(args(i + 1)).append('\n')
+          if (i + 1 >= args.length) throw new BadArgs("-p needs a \"<key> <value>\" line")
+          plines.append(args(i + 1)).append('\n')
           i += 2
         case other =>
           rest :+= other
           i += 1
       }
     }
-    (if (text.isEmpty) DedupConfig.default else ConfigParser.parse(text.toString), rest)
+    val text = files.append(plines).toString
+    (if (text.isEmpty) DedupConfig.default else ConfigParser.parse(text), rest)
   }
 
   def run(args0: Seq[String], spark: SparkSession): String = {
     import spark.implicits._
-    val (cfg, args) = config(args0)
+    val (cfg, args) =
+      try config(args0)
+      catch { case e: BadArgs => return s"${e.getMessage}\n$usage" }
     args match {
 
       case Seq("backup", storeDir, input, "--id", runId) =>
@@ -84,8 +104,9 @@ object Cli {
         val agg = clusters.agg(count(lit(1)), countDistinct(col("cluster_id"))).head()
         val (total, nc) = (agg.getLong(0), agg.getLong(1))
         val secs = (System.nanoTime - t0) / 1e9
+        val ratio = if (nc == 0) "n/a (empty corpus)" else f"${total.toDouble / nc}%.3f"
         f"backup $runId: $n images ingested in $secs%.1f s; corpus $total images in " +
-          f"$nc clusters (dedup ratio ${total.toDouble / nc}%.3f)"
+          s"$nc clusters (dedup ratio $ratio)"
 
       case Seq("restore", storeDir, runId, outDir) =>
         val io = new TableIO(spark, storeDir)
@@ -125,12 +146,14 @@ object Cli {
         // footers only — NO Spark job touches data
         val io = new TableIO(spark, storeDir)
         val ids = io.batches(IncrementalDedup.SigStore)
-        val per = ids.map(id =>
-          s"  $id: ${io.batchRowCount(IncrementalDedup.SigStore, id)} images, " +
+        val imgCounts = ids.map(id => id -> io.batchRowCount(IncrementalDedup.SigStore, id))
+        val per = imgCounts.map { case (id, n) =>
+          s"  $id: $n images, " +
             s"${io.batchRowCount(IncrementalDedup.PostStore, id)} postings, " +
-            s"${io.batchRowCount(IncrementalDedup.EdgeStore, id)} edges")
-        val total = ids.map(io.batchRowCount(IncrementalDedup.SigStore, _)).sum
-        (s"store $storeDir: ${ids.length} batches, $total images" +: per).mkString("\n")
+            s"${io.batchRowCount(IncrementalDedup.EdgeStore, id)} edges"
+        }
+        (s"store $storeDir: ${ids.length} batches, ${imgCounts.map(_._2).sum} images" +: per)
+          .mkString("\n")
 
       case Seq("trace", dataDir, outDir) =>
         graft.sources.TraceSource.makeTrace(

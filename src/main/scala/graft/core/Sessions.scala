@@ -19,8 +19,10 @@ object Sessions {
     * local dirs come from the submit command / cluster conf — only the
     * engine-required SQL preferences are set here (each is documented
     * on the local builder below; they are deployment-appropriate, not
-    * sandbox workarounds). Uses getOrCreate, so a pre-configured
-    * session (e.g. from a notebook) wins on any conflicting key. */
+    * sandbox workarounds). NOTE getOrCreate semantics: if a session
+    * already exists, Spark applies these builder options ONTO it (and
+    * the log level is set to WARN) — call from a fresh JVM (the
+    * spark-submit case) to keep an interactive session untouched. */
   def submit(appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)

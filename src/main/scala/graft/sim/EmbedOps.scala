@@ -252,11 +252,14 @@ object EmbedOps {
     * ceiling). `e` must be (vec_id, v: array<double>).
     */
   private def rerankTopK(spark: SparkSession, e: DataFrame,
-      rawPairs: DataFrame, k: Int, maxBroadcastVectors: Long): DataFrame = {
+      rawPairs: DataFrame, k: Int, maxBroadcastVectors: Long,
+      knownCount: Option[Long] = None): DataFrame = {
     import spark.implicits._
     // count() on the narrow side gates the plan choice; the scan reads
-    // no vector payload (column pruning leaves vec_id only)
-    val nVecs = e.select("vec_id").count()
+    // no vector payload (column pruning leaves vec_id only). Callers
+    // that already counted (ivfTopK's codebook auto-gate) pass it in
+    // so one query never runs the count job twice
+    val nVecs = knownCount.getOrElse(e.select("vec_id").count())
     if (nVecs <= maxBroadcastVectors) {
       // FAST PATH (corpus fits one executor's memory comfortably):
       // dedup-across-tables + exact re-rank + top-k in ONE shuffle: the
@@ -381,12 +384,12 @@ object EmbedOps {
     */
   def kmeansCentroids(spark: SparkSession, e: DataFrame, nC: Int,
       iters: Int = 5, seed: Long = 42L, trainModulus: Int = 0,
-      maxTrainVectors: Int = 131072): Array[Array[Double]] = {
+      maxTrainVectors: Int = 131072, knownCount: Option[Long] = None): Array[Array[Double]] = {
     import spark.implicits._
     val modulus =
       if (trainModulus > 0) trainModulus
       else {
-        val n = e.select("vec_id").count()
+        val n = knownCount.getOrElse(e.select("vec_id").count())
         math.max(1L, (n + maxTrainVectors - 1) / maxTrainVectors).toInt
       }
     val train =
@@ -478,7 +481,11 @@ object EmbedOps {
       maxBroadcastVectors: Long = 200000L, trainModulus: Int = 0): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val cents = kmeansCentroids(spark, e, nC, iters, trainModulus = trainModulus)
+    // ONE id-only count serves both gates (codebook training sample +
+    // re-rank broadcast decision)
+    val nVecs = e.select("vec_id").count()
+    val cents = kmeansCentroids(spark, e, nC, iters,
+      trainModulus = trainModulus, knownCount = Some(nVecs))
     val cb = spark.sparkContext.broadcast(cents)
     val cellU = udf((v: Seq[Double]) => nearestCell(cb.value, v))
     val probeU = udf((v: Seq[Double]) => probeCells(cb.value, v, nprobe))
@@ -492,6 +499,6 @@ object EmbedOps {
     val rawPairs = probes.join(index, "cell")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select("vec_id", "neighbor_id")
-    rerankTopK(spark, e, rawPairs, k, maxBroadcastVectors)
+    rerankTopK(spark, e, rawPairs, k, maxBroadcastVectors, Some(nVecs))
   }
 }

@@ -473,8 +473,11 @@ object TextOps extends Serializable {
     // pruned buckets colliding would merge into one run of <= 2*dfCap,
     // so the cap is 2*dfCap to keep that run all-pairs (no star
     // fallback = no lost oracle pairs); only a >= triple collision
-    // (~2^-128 per bucket triple) could still star
-    val cand = graft.ops.PairGen.bucketPairsLong(postings, 2 * cfg.substrDfCap)
+    // (~2^-128 per bucket triple) could still star. Long math then
+    // clamp: a user cap of Int.MaxValue must stay exact all-pairs,
+    // not overflow negative and star everything
+    val cand = graft.ops.PairGen.bucketPairsLong(postings,
+      math.min(2L * cfg.substrDfCap, Int.MaxValue.toLong).toInt)
     val t1 = d.select(col("doc_id").as("id1"), col("t").as("tx1"), col("source").as("src1"))
     val t2 = d.select(col("doc_id").as("id2"), col("t").as("tx2"), col("source").as("src2"))
     cand.join(t1, "id1").join(t2, "id2")

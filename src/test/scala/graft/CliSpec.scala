@@ -57,8 +57,13 @@ class CliSpec extends AnyFunSuite {
     val store = Files.createTempDirectory("graft-cli-sim").toString
     val data = Files.createTempDirectory("graft-cli-simdata").toString
     CorpusGen.generate(spark, 4).write.parquet(s"$data/b.parquet")
+    // the -p comes BEFORE a --config file that says the opposite:
+    // destor applies -p overrides after the file regardless of argv
+    // position, so signature-only must still end up ON
+    val conf = Files.createTempFile("graft-cli", ".conf")
+    Files.writeString(conf, "signature-only off\n")
     val s = Cli.run(Seq("backup", store, s"$data/b.parquet", "--id", "b1",
-      "-p", "signature-only on"), spark)
+      "-p", "signature-only on", "--config", conf.toString), spark)
     assert(s.startsWith("backup b1:"), s)
     val stored = spark.read.parquet(
       s"$store/${graft.pipeline.IncrementalDedup.ImagesStore}/batch-b1")
