@@ -368,7 +368,9 @@ class DocOpsSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall too low: $recall")
 
     // the scale path (broadcast gate forced off -> co-partitioned
-    // shuffle-hash verify) must produce identical clusters
+    // shuffle-hash verify via the shared joinScores helper, whose
+    // SHJ plan the ANN scale-path test above asserts) must produce
+    // identical clusters
     val gotJoin = EmbedOps.embedDedup(spark, dir, maxBroadcastVectors = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(gotJoin == gotSf, "scale-path clusters differ from broadcast-path clusters")
