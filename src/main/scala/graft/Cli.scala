@@ -56,6 +56,11 @@ object Cli {
       case None => (Sessions.submit("graft-cli"), a)
     }
     try println(run(rest, spark))
+    catch {
+      // contract violations (unknown batch, signature-only restore,
+      // bad config value) print as one-line errors, not stack traces
+      case e: IllegalArgumentException => println(s"error: ${e.getMessage}")
+    }
     finally spark.stop()
   }
 
@@ -110,6 +115,9 @@ object Cli {
 
       case Seq("restore", storeDir, runId, outDir) =>
         val io = new TableIO(spark, storeDir)
+        val have = io.batches(IncrementalDedup.SigStore)
+        require(runId == "all" || have.contains(runId),
+          s"unknown batch '$runId' (store has: ${have.mkString(", ")})")
         val imagesDf = io.readBatches(IncrementalDedup.ImagesStore)
         require(imagesDf.columns.contains("bytes"),
           "store was ingested signature-only (simulation); restore needs pixel data")
@@ -136,6 +144,10 @@ object Cli {
 
       case Seq("delete", storeDir, runIds) =>
         val ids = runIds.split(",").toSeq
+        val have = new TableIO(spark, storeDir).batches(IncrementalDedup.SigStore)
+        val missing = ids.filterNot(have.contains)
+        require(missing.isEmpty,
+          s"unknown batch(es) ${missing.mkString(", ")} (store has: ${have.mkString(", ")})")
         val r = new Retention(spark, storeDir, cfg)
           .expire(ids, s"gc-${ids.mkString("-")}")
         s"delete ${r.droppedBatches.mkString(",")}: ${r.droppedImages} images dropped, " +

@@ -44,6 +44,14 @@ class CliSpec extends AnyFunSuite {
     assert(rA.contains("all_restored=1"), rA)
     assert(spark.read.parquet(outA).count() == n1 + n2)
 
+    // unknown batch ids fail with a clear message, not a parquet error
+    val exR = intercept[IllegalArgumentException](
+      Cli.run(Seq("restore", store, "nope", out1), spark))
+    assert(exR.getMessage.contains("unknown batch"), exR.getMessage)
+    val exD = intercept[IllegalArgumentException](
+      Cli.run(Seq("delete", store, "b1,nope"), spark))
+    assert(exD.getMessage.contains("unknown batch"), exD.getMessage)
+
     val d = Cli.run(Seq("delete", store, "b1"), spark)
     assert(d.contains(s"${n1} images dropped") && d.contains(s"${n2} images survive"), d)
     val st2 = Cli.run(Seq("stats", store), spark)
