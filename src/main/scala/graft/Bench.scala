@@ -111,8 +111,18 @@ object Bench {
   /** Protocol identity for the cross-run sample ledger: bump whenever
     * the measured code path, corpus construction, or session config
     * changes in a perf-relevant way, so stale samples never pool with
-    * current ones. */
-  private val ProtocolId = "r2-1600k-p1"
+    * current ones. Bumped r2-1600k-p1 → r3-1600k-p1 when the
+    * ConnectedComponents plan changed (deferred pointer jumping +
+    * broadcast singleton stitch): every pipeline-job sample measures a
+    * different binary from that commit on. */
+  private val ProtocolId = "r3-1600k-p1"
+
+  /** The chunk probe's measured code (ChunkProbe: child-JVM FastCDC
+    * sweep over the tmpfs blob) is UNTOUCHED by the r3 pipeline change
+    * that bumped ProtocolId, so its samples remain valid and pool
+    * across both ids — the carve-out is documented in the ledger
+    * history section of BENCH/BASELINE.md. */
+  private val ChunkPoolProtocolIds = Set("r2-1600k-p1", ProtocolId)
   private val LedgerPath = java.nio.file.Paths.get("BENCH/samples.jsonl")
   private val RetiredLedgerPath = java.nio.file.Paths.get("BENCH/samples_retired.jsonl")
 
@@ -177,7 +187,9 @@ object Bench {
       """"cores":(\d+),"wall":([\d.]+),"steal":(\d+),"calB":(\d+),"calA":(\d+)\}""").r
     scala.io.Source.fromFile(LedgerPath.toFile).getLines().toSeq.collect {
       case P(proto, img, pair, cores, wall, steal, calB, calA)
-          if proto == ProtocolId && img.toLong == images =>
+          if img.toLong == images &&
+            (if (pair.startsWith("chunkp:")) ChunkPoolProtocolIds(proto)
+             else proto == ProtocolId) =>
         pair -> Rep(cores.toInt, wall.toDouble, steal.toLong, calB.toDouble, calA.toDouble)
     }
   }
@@ -589,10 +601,17 @@ object Bench {
     md ++= "on the first bench run after retirement (history preserved for\n"
     md ++= "audit); the live ledger then contains exactly what the estimators\n"
     md ++= "read. Protocol id history: `r2-1600k-p1` — round 2 onward (1.6M-\n"
-    md ++= "image gate corpus, child-JVM chunk probes, stability-gated reps);\n"
-    md ++= "round-1 eras predate the ledger. The `mid` family was added in\n"
-    md ++= "round 3 under the same protocol id: an ADDITIVE level on the same\n"
-    md ++= "job/corpus/config, so existing gate/secondary samples stay valid.\n"
+    md ++= "image gate corpus, child-JVM chunk probes, stability-gated reps;\n"
+    md ++= "the `mid` family joined it in round 3 as an ADDITIVE level on the\n"
+    md ++= "same job). `r3-1600k-p1` — round 3 after the ConnectedComponents\n"
+    md ++= "plan change (deferred pointer jumping + broadcast singleton\n"
+    md ++= "stitch): the pipeline job is a different binary, so every\n"
+    md ++= "pipeline-family sample (gate/secondary/mid/headline) restarts its\n"
+    md ++= "pool at the bump. CARVE-OUT: `chunkp:` samples pool across BOTH\n"
+    md ++= "ids — ChunkProbe's measured code is byte-identical across the\n"
+    md ++= "bump (the CC change touches no chunk-path code), so retiring its\n"
+    md ++= "samples would discard valid machine-speed evidence.\n"
+    md ++= "Round-1 eras predate the ledger.\n"
     java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md.toString)
   }
 }

@@ -51,6 +51,12 @@ object ConnectedComponents {
 
   private val lvl = StorageLevel.MEMORY_AND_DISK_SER
 
+  /** Max label rows the singleton stitch will broadcast: above this the
+    * stitch is a shuffle join (the label table is O(dup members) — at
+    * corpus scale it can never broadcast). Same discipline as verify's
+    * `needIds` gate. */
+  val MaxBroadcastLabels = 4000000L
+
   /** @param vertices single-column DF `id` (all nodes, incl. singletons)
     * @param edges two-column DF `src`,`dst`
     * @param edgeCountHint approximate |edges| when the caller already
@@ -62,30 +68,44 @@ object ConnectedComponents {
     *   typed like the input id column (long in, long out)
     */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 64, edgeCountHint: Option[Long] = None): DataFrame = {
+      maxIter: Int = 64, edgeCountHint: Option[Long] = None,
+      maxBroadcastLabels: Long = MaxBroadcastLabels): DataFrame = {
     import spark.implicits._
-    val labelDf =
+    val (labelDf, nLabels) =
       if (vertices.schema("id").dataType == LongType) {
         val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
           .as[(Long, Long)].rdd
           .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-        loop(spark, raw, maxIter, edgeCountHint).toDF("id", "label")
+        val (l, n) = loop(spark, raw, maxIter, edgeCountHint)
+        (l.toDF("id", "label"), n)
       } else {
         val raw = edges.select(col("src"), col("dst")).as[(String, String)].rdd
           .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-        loop(spark, raw, maxIter, edgeCountHint).toDF("id", "label")
+        val (l, n) = loop(spark, raw, maxIter, edgeCountHint)
+        (l.toDF("id", "label"), n)
       }
     // singleton stitch under Catalyst (data-proportional, one pass).
+    // The label table holds only edge-touching vertices and its exact
+    // row count fell out of the loop's last materialization, so when it
+    // is bounded we BROADCAST it: the full vertex list then streams
+    // scan→join→downstream with no exchange at all (measured: the
+    // shuffle stitch exchanged ~335 MB of vertex ids per consumer at
+    // 1.6M images — a core-count-independent cost the broadcast
+    // removes). Above the gate the shuffle join is the correct plan.
+    val labelSide =
+      if (nLabels <= maxBroadcastLabels) broadcast(labelDf) else labelDf
     vertices.select(col("id"))
-      .join(labelDf, Seq("id"), "left")
+      .join(labelSide, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("component"))
   }
 
   /** The min-label loop over an already-bidirectional edge RDD, generic
-    * in the id type (Ordering supplies the min; Long ids stay numeric). */
+    * in the id type (Ordering supplies the min; Long ids stay numeric).
+    * Returns (labels, labelRowCount) — the count rides the last round's
+    * materialization, so it is free for the caller's stitch-plan gate. */
   private def loop[K](spark: SparkSession, raw: RDD[(K, K)],
       maxIter: Int, edgeCountHint: Option[Long])(
-      implicit ord: Ordering[K], ct: scala.reflect.ClassTag[K]): RDD[(K, K)] = {
+      implicit ord: Ordering[K], ct: scala.reflect.ClassTag[K]): (RDD[(K, K)], Long) = {
     val sc = spark.sparkContext
     val min2: (K, K) => K = (a, b) => if (ord.lteq(a, b)) a else b
 
@@ -122,6 +142,7 @@ object ConnectedComponents {
 
     var iter = 1
     var converged = false
+    var nLabels = 0L
     val retired = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     while (!converged && iter < maxIter) {
       // ONE job: propagate (narrow join vs bidir + message reduce) →
@@ -138,12 +159,26 @@ object ConnectedComponents {
           if (nw != old) changed.add(1L)
           (id, nw)
         }, preservesPartitioning = true)
-      val jumped = stepped
-        .mapPartitions(_.map(_.swap), preservesPartitioning = false)
-        .join(stepped, part)
-        .map { case (_, (id, lab2)) => (id, lab2) }
-        .partitionBy(part)
-        .persist(lvl)
+      // pointer jump label'(v) = label(label(v)) — DEFERRED to round 3:
+      // the jump costs two extra shuffles per round (the swap re-keys
+      // by label, the result re-keys by id) and buys nothing on graphs
+      // that converge in <= 2 propagate rounds — which star-capped pair
+      // streams (CAP hot buckets → diameter 2) and natural short
+      // near-dup chains do structurally. From round 3 on, the graph has
+      // proven itself deep and jumping restores the O(log diameter)
+      // bound for adversarial chains. The fixpoint (per-component min
+      // everywhere) is the same with or without jumping — only the
+      // round count changes — and `stepped` is already co-partitioned
+      // by `part` (leftOuterJoin preserves it), so skipping the jump
+      // skips its partitionBy too.
+      val next =
+        if (iter < 3) stepped.persist(lvl)
+        else stepped
+          .mapPartitions(_.map(_.swap), preservesPartitioning = false)
+          .join(stepped, part)
+          .map { case (_, (id, lab2)) => (id, lab2) }
+          .partitionBy(part)
+          .persist(lvl)
       // truncate the recovery chain every few rounds: a lost block
       // otherwise recomputes recursively back to round 0 at cluster
       // scale. With a configured checkpoint dir the cut is RELIABLE
@@ -152,20 +187,21 @@ object ConnectedComponents {
       // localCheckpoint (persist + lineage cut) keeps single-box runs
       // cheap.
       if (iter % 4 == 0) {
-        if (spark.sparkContext.getCheckpointDir.isDefined) jumped.checkpoint()
-        else jumped.localCheckpoint()
+        if (spark.sparkContext.getCheckpointDir.isDefined) next.checkpoint()
+        else next.localCheckpoint()
       }
-      jumped.count()
+      nLabels = next.count()
       retired += labels
-      labels = jumped
+      labels = next
       converged = changed.value == 0L
       iter += 1
     }
+    if (nLabels == 0L) nLabels = labels.count() // degenerate: loop never entered
     // deferred unpersist: each round's labels feed the NEXT round's
     // lineage (and possibly the final stitch), so blocks drop only
     // after the surviving result is consumed downstream — cheap, they
     // are small and non-blocking.
     retired.foreach(_.unpersist(blocking = false))
-    labels
+    (labels, nLabels)
   }
 }

@@ -31,6 +31,34 @@ class DocOpsSpec extends AnyFunSuite {
     assert(got == Map(2L -> 2L, 10L -> 2L, 7L -> 7L), s"got $got")
   }
 
+  test("connected components: deep path graph converges under deferred pointer jumping") {
+    import spark.implicits._
+    // a 300-node path has diameter 299: plain propagation alone would
+    // need ~300 rounds (> default maxIter=64), so this passes only if
+    // pointer jumping engages after the deferred warm-up rounds and
+    // restores the O(log diameter) bound
+    val n = 300L
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = graft.cluster.ConnectedComponents.run(spark, vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == n)
+    assert(out.forall(_._2 == 1L), s"non-min labels: ${out.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
+  test("connected components: broadcast and shuffle stitch plans agree") {
+    import spark.implicits._
+    val vertices = (1L to 50L).toDF("id")
+    val edges = Seq((3L, 7L), (7L, 9L), (20L, 21L)).toDF("src", "dst")
+    val bc = graft.cluster.ConnectedComponents.run(spark, vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh = graft.cluster.ConnectedComponents.run(spark, vertices, edges,
+        maxBroadcastLabels = 0L) // force the shuffle stitch
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bc == sh)
+    assert(bc(9L) == 3L && bc(21L) == 20L && bc(1L) == 1L)
+  }
+
   test("minhash dedup clusters == brute-force jaccard clusters (recall >= 0.99, no false merges)") {
     val sh = docLocal.map { case (id, tx) => id -> Sig.shingleHashes(tx, cfg.shingleSize) }.toMap
     val ids = docLocal.map(_._1).sorted
