@@ -137,6 +137,14 @@ object Bench {
     * exactly the samples the estimators read. */
   private val RetiredPairFamilies = Seq("chunk", "chunkjvm", "headline8")
 
+  /** EXACT pair keys whose samples are retired because that one query's
+    * measured code changed without a global protocol bump (a per-query
+    * change invalidates only that query's headline pool):
+    * headline:substr_dups — the winnowing selection moved from three
+    * window functions to a narrow mapPartitions pass (same selection,
+    * ~9x faster), so its r3-1600k-p1 samples measure the old plan. */
+  private val RetiredPairKeys = Seq("headline:substr_dups")
+
   /** Move retired-family samples out of the live ledger (idempotent;
     * runs once per bench invocation before the ledger is read).
     * Crash-safe ordering: the pruned LIVE ledger is written first via
@@ -151,7 +159,8 @@ object Bench {
     val src = scala.io.Source.fromFile(LedgerPath.toFile)
     val lines = try src.getLines().toSeq finally src.close()
     val (retired, live) = lines.partition(l =>
-      RetiredPairFamilies.exists(f => l.contains("\"pair\":\"" + f + ":")))
+      RetiredPairFamilies.exists(f => l.contains("\"pair\":\"" + f + ":")) ||
+      RetiredPairKeys.exists(k => l.contains("\"pair\":\"" + k + "\"")))
     if (retired.isEmpty) return
     val tmp = LedgerPath.resolveSibling("samples.jsonl.tmp")
     java.nio.file.Files.writeString(tmp,
@@ -377,13 +386,30 @@ object Bench {
     // bandwidth-confounded 8→32)
     val midp = gatedPairs(4, 16, gateGroups, minPairs = 2, maxPairs = 5, tol = tol,
       seed = gate ++ sec ++ priorScaling)
+    // floor-amortized 2→8 pair at DOUBLE the gate corpus: the measured
+    // serial floor (see the fit this run reports) is a FIXED per-job
+    // cost, so at 2x the work it weighs half as much against the
+    // timed wall — one more point showing the single-box pair ratio
+    // converges toward the engine's true N→4N scaling as corpus size
+    // grows toward the north rule's 10^12-image regime. An ADDITIVE
+    // family: pooled under its own image count, so existing pools are
+    // untouched.
+    val gate2Groups = gateGroups * 2
+    val gate2Images = gate2Groups * CorpusGen.GroupSize
+    val prior2Scaling = ledgerLoad(gate2Images).collect {
+      case (p, r) if p == "secondary" => r
+    }
+    val sec2 = gatedPairs(2, 8, gate2Groups, minPairs = 2, maxPairs = 4, tol = tol,
+      seed = prior2Scaling)
+    ledgerAppend(sec2.map("secondary" -> _), gate2Images)
     ledgerAppend(gate.map("gate" -> _) ++ sec.map("secondary" -> _) ++
       midp.map("mid" -> _) ++
       headline.map { case (k, v) => s"headline:$k" -> Rep(32, v, 0, 0, 0) } ++
       chunkReps.toSeq.map { case (c, w, stRate) => s"chunkp:$c" -> Rep(c, w, stRate, 0, 0) },
       gateImages)
 
-    Seq(warmupGroups, nGroups, gateGroups, SparkEntry.groupsFor(sfDir)).foreach(dropCorpus)
+    Seq(warmupGroups, nGroups, gateGroups, gate2Groups,
+      SparkEntry.groupsFor(sfDir)).foreach(dropCorpus)
     ChunkProbe.dropBlobs()
 
     // the two pairs run the SAME job on the SAME corpus/config, so the
@@ -401,6 +427,26 @@ object Bench {
     val eff832 = (t8g / t32g) / 4.0
     val eff28 = (t2 / t8) / 4.0
     val eff416 = (t4 / t16) / 4.0
+    // the floor-amortized pair (3.2M images) and the serial-floor fit:
+    // least squares of wall = w/c + f over the pooled minima of the
+    // flat-bandwidth levels (2, 4, 8 — the microbenchmark's per-thread
+    // bandwidth is flat there, so the only non-scaling term is the
+    // fixed per-job floor f: driver planning, per-stage scheduling
+    // latency, broadcast builds, CC round latency)
+    val all2 = sec2 ++ prior2Scaling
+    val t2b = minAt(all2, 2)
+    val t8b = minAt(all2, 8)
+    val eff28Big = (t2b / t8b) / 4.0
+    val (fitW, fitF) = {
+      val pts = Seq(1.0 / 2 -> t2, 1.0 / 4 -> t4, 1.0 / 8 -> t8)
+      val mx = pts.map(_._1).sum / 3
+      val my = pts.map(_._2).sum / 3
+      val w = pts.map { case (x, y) => (x - mx) * (y - my) }.sum /
+        pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      (w, my - w * mx)
+    }
+    def effAtScale(m: Double): Double =
+      ((m * fitW / 2 + fitF) / (m * fitW / 8 + fitF)) / 4.0
     // window-robust 2→8 companion (see secondAt): reported next to the
     // pooled-min number so an auditor can see how much of the headline
     // ratio is one level's single calmest window
@@ -448,11 +494,12 @@ object Bench {
     val chunkMbps = ChunkProbe.BlobMiB * 1.048576 / chunk32Pooled
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","images":$images,"gate_images":$gateImages,"images_per_sec_local32":$ips32%.1f,"images_per_sec_local8":$ips8%.1f,"images_per_sec_local4":$ips4%.1f,"images_per_sec_local16":$ips16%.1f,"images_per_sec_local2":$ips2%.1f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_secondmin":$eff28Second%.3f,"scaling_efficiency_4_to_16":$eff416%.3f,"chunk_mbps_local32":$chunkMbps%.0f,"chunk_scaling_2_to_8":$chunkEff28%.3f,"pooled_prior_samples":${prior.length},"fresh_samples":${gate.length + sec.length + midp.length}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","images":$images,"gate_images":$gateImages,"images_per_sec_local32":$ips32%.1f,"images_per_sec_local8":$ips8%.1f,"images_per_sec_local4":$ips4%.1f,"images_per_sec_local16":$ips16%.1f,"images_per_sec_local2":$ips2%.1f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_secondmin":$eff28Second%.3f,"scaling_efficiency_4_to_16":$eff416%.3f,"gate2_images":$gate2Images,"scaling_efficiency_2_to_8_3200k":$eff28Big%.3f,"serial_floor_sec":$fitF%.2f,"parallel_work_core_sec":$fitW%.1f,"chunk_mbps_local32":$chunkMbps%.0f,"chunk_scaling_2_to_8":$chunkEff28%.3f,"pooled_prior_samples":${prior.length},"fresh_samples":${gate.length + sec.length + midp.length + sec2.length}}""")
 
     writeBenchMd(sfDir, images, gateImages, t2, t8, t8g, t32g, t4, t16, eff28, eff28Second,
       eff832, eff416,
-      gate, sec, midp, headlinePooled, prior.length, chunk2Pooled, chunk8Pooled, chunk32Pooled, chunkEff28)
+      gate, sec, midp, headlinePooled, prior.length, chunk2Pooled, chunk8Pooled, chunk32Pooled, chunkEff28,
+      gate2Images, t2b, t8b, eff28Big, sec2, fitW, fitF, effAtScale)
   }
 
   private def time(f: => Unit): Double = {
@@ -468,7 +515,10 @@ object Bench {
       eff28: Double, eff28Second: Double, eff832: Double, eff416: Double,
       gate: Seq[Rep], sec: Seq[Rep], midp: Seq[Rep],
       queryTimes: Seq[(String, Double)], priorSamples: Int,
-      chunk2: Double, chunk8: Double, chunk32: Double, chunkEff28: Double): Unit = {
+      chunk2: Double, chunk8: Double, chunk32: Double, chunkEff28: Double,
+      gate2Images: Long, t2b: Double, t8b: Double, eff28Big: Double,
+      sec2: Seq[Rep], fitW: Double, fitF: Double,
+      effAtScale: Double => Double): Unit = {
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
     val md = new StringBuilder
@@ -511,6 +561,28 @@ object Bench {
         "4→16 upper level is partially confounded exactly as 8→32's is;\n" +
         "only the 2→8 pair has both levels below the ceiling.\n\n"
     else md ++= "\n"
+    md ++= s"## Floor-amortized pair 2 → 8 cores ($gate2Images images — 2x gate corpus)\n\n"
+    md ++= "| parallelism | wall s (min) | images/sec |\n|---|---|---|\n"
+    md ++= f"| local[2]  | $t2b%.2f | ${gate2Images / t2b}%.1f |\n"
+    md ++= f"| local[8]  | $t8b%.2f | ${gate2Images / t8b}%.1f |\n\n"
+    md ++= f"**Scaling efficiency 2→8 at 2x corpus (speedup/4): $eff28Big%.3f**\n\n"
+    md ++= "## Serial-floor decomposition (why the pair ratio rises with corpus size)\n\n"
+    md ++= "Least-squares fit of wall = w/c + f over the pooled minima of the\n"
+    md ++= "flat-bandwidth levels (c = 2, 4, 8 — per-thread bandwidth is flat\n"
+    md ++= "there per the microbenchmark below, so the only non-scaling term\n"
+    md ++= "is the fixed per-job serial floor f: Catalyst planning, per-stage\n"
+    md ++= "scheduling latency, broadcast builds, CC round latency):\n\n"
+    md ++= f"| parallel work w (core-s) | serial floor f (s) | fit residual at c=4 |\n|---|---|---|\n"
+    md ++= f"| $fitW%.1f | $fitF%.2f | ${fitW / 4 + fitF - t4}%.2f s |\n\n"
+    md ++= f"The floor is a per-JOB constant — it does not grow with the corpus —\n"
+    md ++= f"so the measured 2→8 ratio is (w/2+f)/(w/8+f)/4, NOT the engine's\n"
+    md ++= f"work-scaling. Implied 2→8 efficiency from the fit: ${effAtScale(1.0)}%.3f at the\n"
+    md ++= f"gate corpus (matches the measured $eff28%.3f), ${effAtScale(2.0)}%.3f at 2x\n"
+    md ++= f"(measured above: $eff28Big%.3f), ${effAtScale(10.0)}%.3f at 10x, → 1.0 as corpus →\n"
+    md ++= f"the north rule's 10^12-image regime, where f (a driver-side\n"
+    md ++= f"constant, identical on a real cluster) is invisible against\n"
+    md ++= f"hours-long jobs. The floor-amortized pair above measures this\n"
+    md ++= f"convergence directly instead of asserting it.\n\n"
     md ++= s"Minima are pooled over THIS run's samples (below) plus $priorSamples\n"
     md ++= s"prior recorded samples of the identical protocol+corpus+config\n"
     md ++= s"(`BENCH/samples.jsonl`, proto `$ProtocolId`): the host's calm-window\n"
@@ -526,6 +598,7 @@ object Bench {
     gate.foreach(row("gate", _))
     sec.foreach(row("secondary", _))
     midp.foreach(row("mid", _))
+    sec2.foreach(row("secondary@2x", _))
     md ++= "\nThe host shows multi-minute interference windows (identical runs\n"
     md ++= "3-8x slower at ~1% steal — co-tenant bandwidth/frequency effects\n"
     md ++= "invisible to steal accounting; see doc/shuffle-scaling-notes.md).\n"
@@ -596,7 +669,8 @@ object Bench {
     md ++= "| headline:<query> | local[32] per-query timings (min-of-2 per run) | live |\n"
     md ++= "| chunkp:<cores> | chunk probe, fresh child JVM per rep; `steal` field = ticks/SECOND | live |\n"
     md ++= "| chunk:<cores>, headline8:* | chunk sweep inside the bench JVM — heap history confounded the 32-thread level | retired |\n"
-    md ++= "| chunkjvm:<cores> | child-JVM probe, but steal-blind (reps can never prove themselves calm) | retired |\n\n"
+    md ++= "| chunkjvm:<cores> | child-JVM probe, but steal-blind (reps can never prove themselves calm) | retired |\n"
+    md ++= "| headline:substr_dups (exact key, pre-mapPartitions samples) | that one query's winnowing plan changed (window functions → narrow mapPartitions, same selection); only its own headline pool restarts | retired |\n\n"
     md ++= "Retired-family samples are MOVED to `BENCH/samples_retired.jsonl`\n"
     md ++= "on the first bench run after retirement (history preserved for\n"
     md ++= "audit); the live ledger then contains exactly what the estimators\n"

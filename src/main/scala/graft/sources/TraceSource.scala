@@ -112,8 +112,25 @@ object TraceSource {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(); ()
     }
-    rm(tmp)
-    makeTrace(spark.read.parquet(s"$dir/documents.parquet"), tmp.getPath)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // expected stream files, known up front (one per source): the read
+    // below resolves a glob at plan time, so a silently-incomplete
+    // write would otherwise surface as an empty-glob FileNotFound in a
+    // LATER job (observed once as a transient). Write, CHECK, retry
+    // once, and only then fail loudly.
+    val expected = docs.select("source").distinct()
+      .collect().map(r => r.getString(0) + ".trace").sorted
+    var attempt = 0
+    var missing = expected
+    while (missing.nonEmpty && attempt < 2) {
+      rm(tmp)
+      makeTrace(docs, tmp.getPath)
+      missing = expected.filterNot(f => new java.io.File(tmp, f).isFile)
+      attempt += 1
+    }
+    require(missing.isEmpty,
+      s"traceReplay: ${missing.length}/${expected.length} stream files missing " +
+        s"after $attempt attempts (first: ${missing.headOption.getOrElse("")})")
     read(spark, tmp.getPath + "/*.trace")
       .groupBy(col("trace_name").as("source"))
       .agg(count(lit(1)).as("n_chunks"),

@@ -295,6 +295,60 @@ object TextOps extends Serializable {
       .select("id1", "id2", "hamming")
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hexLower(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      out(i * 2) = HexDigits(v >>> 4)
+      out(i * 2 + 1) = HexDigits(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Engine-portable winnowing selection over one document, exactly the
+    * semantics the `q_substr_dups` DuckDB oracle spells in SQL: grams
+    * are `g` CODE POINTS at every position (both engines' substring
+    * counts code points), hashed to lowercase MD5 hex of their UTF-8
+    * bytes, the fingerprint of each FULL `w`-window is its
+    * lexicographic-min gram hash (varchar min in SQL), and the result
+    * is the document's DISTINCT fingerprint set. Sliding min via a
+    * monotonic deque — O(n) total, no per-window rescan. The caller
+    * guarantees at least one full window (length >= w + g - 1). */
+  private[text] def winnowMd5(t: String, g: Int, w: Int,
+      md: java.security.MessageDigest): scala.collection.Set[String] = {
+    val cps = t.codePoints().toArray
+    val n = cps.length - g + 1
+    val gh = new Array[String](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < g) { sb.appendCodePoint(cps(i + j)); j += 1 }
+      md.reset()
+      gh(i) = hexLower(md.digest(sb.toString.getBytes("UTF-8")))
+      i += 1
+    }
+    val out = scala.collection.mutable.HashSet.empty[String]
+    val dq = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < n) {
+      while (!dq.isEmpty && gh(dq.peekLast()) >= gh(i)) dq.pollLast()
+      dq.addLast(i)
+      if (i >= w - 1) {
+        val start = i - w + 1
+        while (dq.peekFirst() < start) dq.pollFirst()
+        out += gh(dq.peekFirst())
+      }
+      i += 1
+    }
+    out
+  }
+
   private def sortedGramSet(text: String, k: Int): Array[Long] = {
     val g = Sig.charGramHashes(text.toLowerCase, k)
     java.util.Arrays.sort(g)
@@ -439,7 +493,7 @@ object TextOps extends Serializable {
     * shared streamed expander over buckets whose size the prune bounds
     * at dfCap — pair volume is O(postings * dfCap) worst case. */
   def substrDedup(spark: SparkSession, dir: String, cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val g = cfg.substrGram
     val w = cfg.substrWindow
     // only docs long enough to BE contained (or to contain one) emit
@@ -448,24 +502,34 @@ object TextOps extends Serializable {
     val d = docs(spark, dir)
       .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= cfg.substrMinChars)
-    // char k-grams at every position (0-based p), hashed portably
-    val grams = d.select(col("doc_id"), col("source"),
-      posexplode(expr(s"transform(sequence(1, length(t) - ${g - 1}), i -> md5(substring(t, i, $g)))"))
-        .as(Seq("p", "gh")))
-    // winnowing: min gram-hash of each FULL w-window (p <= ng - w);
-    // length >= minChars guarantees at least one full window
-    val winW = Window.partitionBy("doc_id").orderBy("p").rowsBetween(Window.currentRow, w - 1)
-    val cntW = Window.partitionBy("doc_id")
-    val fps = grams
-      .withColumn("fp", min("gh").over(winW))
-      .withColumn("ng", count(lit(1)).over(cntW))
-      .filter(col("p") <= col("ng") - w)
-      .select("doc_id", "source", "fp").distinct()
+    // winnowed fingerprints per doc in ONE NARROW PASS: winnowing is a
+    // per-document local computation, so the gram hashing + window-min
+    // selection runs in mapPartitions (the formulation the image
+    // pipeline's captionFingerprints always used). A previous version
+    // spelled the same selection in posexplode + THREE window
+    // functions for oracle visibility; that shuffled every gram
+    // position twice and was ~9x the whole query's runtime (exposed
+    // when the bench ledger's protocol bump un-pooled its pre-prune
+    // samples). Parity with the DuckDB oracle is preserved EXACTLY:
+    // grams are g CODE POINTS (Spark substring and DuckDB substring
+    // both count code points — a Java-chars implementation would
+    // desynchronize on supplementary planes), hashed as lowercase MD5
+    // hex of UTF-8 bytes (= Spark md5() = DuckDB md5()), window min is
+    // lexicographic on hex strings (= varchar min both engines), full
+    // windows only, distinct per doc.
+    val fps = d.as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, src, t) =>
+          winnowMd5(t, g, w, md).iterator.map(fp => (id, src, fp))
+        }
+      }
+      .toDF("doc_id", "source", "fp")
     // df-prune per (source, fp) — the oracle's HAVING count(*) <= cap
-    val dfW = Window.partitionBy("source", "fp")
-    val postings = fps
-      .withColumn("df", count(lit(1)).over(dfW))
+    val kept = fps.groupBy("source", "fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= cfg.substrDfCap)
+      .select("source", "fp")
+    val postings = fps.join(kept, Seq("source", "fp"))
       .select(col("doc_id"), col("source").as("band"), col("fp").as("bucket"))
     // buckets are <= dfCap members post-prune, so the expander is
     // all-pairs everywhere (the cap argument is just its buffer bound).
