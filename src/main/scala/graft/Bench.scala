@@ -142,8 +142,20 @@ object Bench {
     * change invalidates only that query's headline pool):
     * headline:substr_dups — the winnowing selection moved from three
     * window functions to a narrow mapPartitions pass (same selection,
-    * ~9x faster), so its r3-1600k-p1 samples measure the old plan. */
+    * ~9x faster), so its r3-1600k-p1 samples measure the old plan.
+    * New-plan samples ledger under the era-suffixed key (below), so
+    * retirement is a one-time purge of the old era, NOT a standing
+    * purge of every future sample. */
   private val RetiredPairKeys = Seq("headline:substr_dups")
+
+  /** Per-query plan-era suffix: when one query's measured plan changes,
+    * its NEW samples ledger under `headline:<query><era>` so they pool
+    * normally while the bare-key old-era samples retire exactly once.
+    * The driver-facing query name stays unsuffixed. */
+  private val QueryPlanEra = Map("substr_dups" -> "@p2")
+
+  private def headlineKey(q: String): String =
+    "headline:" + q + QueryPlanEra.getOrElse(q, "")
 
   /** Move retired-family samples out of the live ledger (idempotent;
     * runs once per bench invocation before the ledger is read).
@@ -404,7 +416,7 @@ object Bench {
     ledgerAppend(sec2.map("secondary" -> _), gate2Images)
     ledgerAppend(gate.map("gate" -> _) ++ sec.map("secondary" -> _) ++
       midp.map("mid" -> _) ++
-      headline.map { case (k, v) => s"headline:$k" -> Rep(32, v, 0, 0, 0) } ++
+      headline.map { case (k, v) => headlineKey(k) -> Rep(32, v, 0, 0, 0) } ++
       chunkReps.toSeq.map { case (c, w, stRate) => s"chunkp:$c" -> Rep(c, w, stRate, 0, 0) },
       gateImages)
 
@@ -465,10 +477,10 @@ object Bench {
     // was degraded). Same estimator as the scaling levels: min over
     // every recorded rep of the identical protocol+corpus.
     val priorHead = prior.collect {
-      case (p, r) if p.startsWith("headline:") => p.stripPrefix("headline:") -> r.wall
+      case (p, r) if p.startsWith("headline:") => p -> r.wall
     }
     val headlinePooled = headline.map { case (k, v) =>
-      k -> (v +: priorHead.collect { case (pk, w) if pk == k => w }).min
+      k -> (v +: priorHead.collect { case (pk, w) if pk == headlineKey(k) => w }).min
     }
     val qs = headlinePooled.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = headlinePooled.map(_._2).sum

@@ -53,9 +53,11 @@ object ConnectedComponents {
 
   /** Max label rows the singleton stitch will broadcast: above this the
     * stitch is a shuffle join (the label table is O(dup members) — at
-    * corpus scale it can never broadcast). Same discipline as verify's
-    * `needIds` gate. */
-  val MaxBroadcastLabels = 4000000L
+    * corpus scale it can never broadcast). 2M two-column rows matches
+    * the broadcast payload verify's `needIds` gate allows (up to 2M
+    * single-column rows; a label row carries id + label, so the row
+    * budget is the same order, not the byte budget doubled). */
+  val MaxBroadcastLabels = 2000000L
 
   /** @param vertices single-column DF `id` (all nodes, incl. singletons)
     * @param edges two-column DF `src`,`dst`

@@ -120,10 +120,15 @@ object TraceSource {
     // once, and only then fail loudly.
     val expected = docs.select("source").distinct()
       .collect().map(r => r.getString(0) + ".trace").sorted
+    // stale streams from a previous invocation are removed even when
+    // nothing will be rewritten — an empty documents table must fail
+    // loudly below, never silently replay the previous corpus's files
+    rm(tmp)
+    require(expected.nonEmpty, s"traceReplay: $dir/documents.parquet has no rows")
     var attempt = 0
     var missing = expected
     while (missing.nonEmpty && attempt < 2) {
-      rm(tmp)
+      if (attempt > 0) rm(tmp)
       makeTrace(docs, tmp.getPath)
       missing = expected.filterNot(f => new java.io.File(tmp, f).isFile)
       attempt += 1

@@ -322,7 +322,14 @@ object TextOps extends Serializable {
       md: java.security.MessageDigest): scala.collection.Set[String] = {
     val cps = t.codePoints().toArray
     val n = cps.length - g + 1
-    val gh = new Array[String](n)
+    // hashing fused with the sliding min: the deque only ever references
+    // the last w positions, so gram hashes live in a w-slot ring —
+    // per-task memory is O(w + distinct fingerprints), never O(doc)
+    // (an unbounded per-doc gram array would make one pathological
+    // multi-MB document allocate GBs of transient strings in one task)
+    val ring = new Array[String](w)
+    val out = scala.collection.mutable.HashSet.empty[String]
+    val dq = new java.util.ArrayDeque[Int]()
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < n) {
@@ -330,19 +337,14 @@ object TextOps extends Serializable {
       var j = 0
       while (j < g) { sb.appendCodePoint(cps(i + j)); j += 1 }
       md.reset()
-      gh(i) = hexLower(md.digest(sb.toString.getBytes("UTF-8")))
-      i += 1
-    }
-    val out = scala.collection.mutable.HashSet.empty[String]
-    val dq = new java.util.ArrayDeque[Int]()
-    i = 0
-    while (i < n) {
-      while (!dq.isEmpty && gh(dq.peekLast()) >= gh(i)) dq.pollLast()
+      val h = hexLower(md.digest(sb.toString.getBytes("UTF-8")))
+      ring(i % w) = h
+      while (!dq.isEmpty && ring(dq.peekLast() % w) >= h) dq.pollLast()
       dq.addLast(i)
       if (i >= w - 1) {
         val start = i - w + 1
         while (dq.peekFirst() < start) dq.pollFirst()
-        out += gh(dq.peekFirst())
+        out += ring(dq.peekFirst() % w)
       }
       i += 1
     }
@@ -525,11 +527,15 @@ object TextOps extends Serializable {
         }
       }
       .toDF("doc_id", "source", "fp")
-    // df-prune per (source, fp) — the oracle's HAVING count(*) <= cap
-    val kept = fps.groupBy("source", "fp").agg(count(lit(1)).as("df"))
+    // df-prune per (source, fp) — the oracle's HAVING count(*) <= cap.
+    // A count window over the (already tiny) fingerprint table, NOT a
+    // groupBy + self-join: fps is the expensive subtree (all the MD5
+    // hashing) and it is un-cached by design in an oracled query, so a
+    // two-consumer formulation would evaluate the winnowing pass twice
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy("source", "fp")
+    val postings = fps
+      .withColumn("df", count(lit(1)).over(dfW))
       .filter(col("df") <= cfg.substrDfCap)
-      .select("source", "fp")
-    val postings = fps.join(kept, Seq("source", "fp"))
       .select(col("doc_id"), col("source").as("band"), col("fp").as("bucket"))
     // buckets are <= dfCap members post-prune, so the expander is
     // all-pairs everywhere (the cap argument is just its buffer bound).
