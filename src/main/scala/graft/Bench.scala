@@ -594,7 +594,11 @@ object Bench {
     md ++= f"the north rule's 10^12-image regime, where f (a driver-side\n"
     md ++= f"constant, identical on a real cluster) is invisible against\n"
     md ++= f"hours-long jobs. The floor-amortized pair above measures this\n"
-    md ++= f"convergence directly instead of asserting it.\n\n"
+    md ++= f"convergence directly instead of asserting it. The same floor\n"
+    md ++= f"explains most of the 8→32 shortfall too — the fit alone puts\n"
+    md ++= f"(w/8+f)/(w/32+f)/4 at ${((fitW / 8 + fitF) / (fitW / 32 + fitF)) / 4.0}%.2f against the measured $eff832%.3f —\n"
+    md ++= f"with the rest being the per-thread bandwidth knee past ~16\n"
+    md ++= f"threads (microbenchmark below), which no fixed floor models.\n\n"
     md ++= s"Minima are pooled over THIS run's samples (below) plus $priorSamples\n"
     md ++= s"prior recorded samples of the identical protocol+corpus+config\n"
     md ++= s"(`BENCH/samples.jsonl`, proto `$ProtocolId`): the host's calm-window\n"
