@@ -411,7 +411,10 @@ object Bench {
     val prior2Scaling = ledgerLoad(gate2Images).collect {
       case (p, r) if p == "secondary" => r
     }
-    val sec2 = gatedPairs(2, 8, gate2Groups, minPairs = 2, maxPairs = 4, tol = tol,
+    // maxPairs 3 (not the 1.6M families' 5-7): a 2-core rep here is
+    // ~6 min, and the cross-run pool seeds stability, so the cap
+    // bounds a degraded-host worst case without starving the estimator
+    val sec2 = gatedPairs(2, 8, gate2Groups, minPairs = 2, maxPairs = 3, tol = tol,
       seed = prior2Scaling)
     ledgerAppend(sec2.map("secondary" -> _), gate2Images)
     ledgerAppend(gate.map("gate" -> _) ++ sec.map("secondary" -> _) ++
