@@ -318,7 +318,7 @@ object TextOps extends Serializable {
     * is the document's DISTINCT fingerprint set. Sliding min via a
     * monotonic deque — O(n) total, no per-window rescan. The caller
     * guarantees at least one full window (length >= w + g - 1). */
-  private[text] def winnowMd5(t: String, g: Int, w: Int,
+  private[graft] def winnowMd5(t: String, g: Int, w: Int,
       md: java.security.MessageDigest): scala.collection.Set[String] = {
     val cps = t.codePoints().toArray
     val n = cps.length - g + 1

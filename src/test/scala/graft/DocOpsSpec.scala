@@ -59,6 +59,42 @@ class DocOpsSpec extends AnyFunSuite {
     assert(bc(9L) == 3L && bc(21L) == 20L && bc(1L) == 1L)
   }
 
+  test("winnowMd5 ring-buffer sliding min == brute-force per-window min") {
+    // the O(w)-memory deque+ring formulation is subtle (an expiring
+    // index's ring slot is overwritten in the same step it can last be
+    // compared): check exact set equality against the obvious
+    // quadratic reference on randomized strings incl. repeated and
+    // supplementary-plane content
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hexMd5(s: String): String =
+      TextOps.winnowMd5(s, s.codePointCount(0, s.length), 1, md).head // md5 of the whole string via a 1-window winnow
+    def brute(t: String, g: Int, w: Int): Set[String] = {
+      val cps = t.codePoints().toArray
+      val n = cps.length - g + 1
+      val gh = (0 until n).map { i =>
+        hexMd5(new String(cps, i, g))
+      }
+      (0 to n - w).map(p => (p until p + w).map(gh).min).toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("ab", "abcde", "xyz 世界😀") // incl. an astral code point
+    for (trial <- 0 until 60) {
+      val alpha = alphabets(trial % alphabets.size)
+      val cpPool = alpha.codePoints().toArray
+      val len = 8 + rnd.nextInt(60)
+      val sb = new java.lang.StringBuilder
+      (0 until len).foreach(_ => sb.appendCodePoint(cpPool(rnd.nextInt(cpPool.length))))
+      val t = sb.toString
+      val g = 2 + rnd.nextInt(3)
+      val w = 2 + rnd.nextInt(5)
+      if (t.codePointCount(0, t.length) >= w + g - 1) {
+        val got = TextOps.winnowMd5(t, g, w, md).toSet
+        val want = brute(t, g, w)
+        assert(got == want, s"trial $trial g=$g w=$w text=[$t]")
+      }
+    }
+  }
+
   test("minhash dedup clusters == brute-force jaccard clusters (recall >= 0.99, no false merges)") {
     val sh = docLocal.map { case (id, tx) => id -> Sig.shingleHashes(tx, cfg.shingleSize) }.toMap
     val ids = docLocal.map(_._1).sorted
