@@ -544,7 +544,7 @@ object Bench {
     md ++= s"every level (128 shuffle partitions, fixed-size heap), levels\n"
     md ++= s"interleaved in one JVM, min across reps, GC outside the timed\n"
     md ++= s"windows. sfDir=$sfDir\n\n"
-    md ++= s"## Gate pair 8 → 32 cores ($gateImages images — serial floor amortized)\n\n"
+    md ++= s"## Gate pair 8 → 32 cores ($gateImages images)\n\n"
     md ++= "| parallelism | wall s (min) | images/sec |\n|---|---|---|\n"
     md ++= f"| local[8]  | $t8g%.2f | ${gateImages / t8g}%.1f |\n"
     md ++= f"| local[32] | $t32g%.2f | ${gateImages / t32g}%.1f |\n\n"
