@@ -49,19 +49,38 @@ object EmbedOps {
       .select("vec_id", "neighbor_id", "rk", "cos")
   }
 
-  /** Random-hyperplane LSH signature (64 planes from a seeded
+  /** Random-hyperplane LSH signature (`planes` planes from a seeded
     * deterministic pseudo-Gaussian), banded like the image phash path:
     * vectors within small angular distance share a band slice with
-    * high probability. */
-  def hyperplaneSig(dim: Int, planes: Int = 64, seed: Long = 42L): Array[Array[Double]] =
+    * high probability. The (plane, dim) → splitmix stream index uses a
+    * stride of max(1024, dim): for dim <= 1024 this is the historical
+    * `p*1024 + d` layout (existing codes unchanged), and for wider
+    * embeddings the stride grows with dim so no two (plane, dim) cells
+    * ever share a Gaussian — planes stay independent at 4096-dim. */
+  def hyperplaneSig(dim: Int, planes: Int = 64, seed: Long = 42L): Array[Array[Double]] = {
+    val stride = math.max(1024L, dim.toLong)
     Array.tabulate(planes) { p =>
       Array.tabulate(dim) { d =>
         // Box-Muller on splitmix streams — deterministic pseudo-Gaussian
-        val u1 = (Sig.mix64(seed ^ (p * 1024L + d)) >>> 11) / 9007199254740992.0
-        val u2 = (Sig.mix64(seed ^ (p * 1024L + d) ^ 0x5bf03635L) >>> 11) / 9007199254740992.0
+        val u1 = (Sig.mix64(seed ^ (p * stride + d)) >>> 11) / 9007199254740992.0
+        val u2 = (Sig.mix64(seed ^ (p * stride + d) ^ 0x5bf03635L) >>> 11) / 9007199254740992.0
         math.sqrt(-2.0 * math.log(u1 + 1e-12)) * math.cos(2.0 * math.Pi * u2)
       }
     }
+  }
+
+  /** Embedding dimensionality derived from the corpus itself: ONE
+    * limit-1 row (a LocalLimit over the narrowest projection — no full
+    * scan). Every LSH caller sizes its hyperplanes from this and the
+    * code UDF then `require`s each vector matches, so a mixed-width or
+    * mis-declared corpus fails loudly instead of silently hashing a
+    * 64-dim prefix (the round-3 recall trap for 768-dim embeddings). */
+  private def corpusDim(e: DataFrame): Int = {
+    val head = e.select(size(col("v")).as("d")).head()
+    val d = head.getInt(0)
+    require(d > 0, "embedding corpus has an empty first vector")
+    d
+  }
 
   /** Exact cosine over two primitive vectors, rounded to 6 decimals
     * HALF_UP — shared by BOTH re-rank paths so the gated plan switch
@@ -99,7 +118,7 @@ object EmbedOps {
       maxBroadcastVectors: Long = 200000L): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val codesU = bandCodesUdf(spark, tables, kBits)
+    val codesU = bandCodesUdf(spark, tables, kBits, corpusDim(e))
     // postings carry ONLY ids — the candidate join and pair-dedup must
     // never shuffle the vectors themselves (at 16 tables the pair
     // stream is ~16x the deduped pair count; carrying two 64-dim
@@ -122,12 +141,17 @@ object EmbedOps {
 
   /** The banded hyperplane-code UDF shared by every LSH candidate
     * generator: `tables` independent codes of `kBits` sign bits each,
-    * planes broadcast once per query. Id-only postings downstream —
-    * the codes are the ONLY thing derived from the vector that enters
-    * a shuffle. */
-  private def bandCodesUdf(spark: SparkSession, tables: Int, kBits: Int) = {
-    val planesB = spark.sparkContext.broadcast(hyperplaneSig(64, tables * kBits))
+    * planes sized to the CORPUS dimension (derived by the caller via
+    * [[corpusDim]]) and broadcast once per query. Id-only postings
+    * downstream — the codes are the ONLY thing derived from the vector
+    * that enters a shuffle. Each row `require`s its vector matches the
+    * derived dim: a ragged corpus fails the job loudly rather than
+    * degrading recall by hashing a truncated prefix. */
+  private def bandCodesUdf(spark: SparkSession, tables: Int, kBits: Int, dim: Int) = {
+    val planesB = spark.sparkContext.broadcast(hyperplaneSig(dim, tables * kBits))
     udf((v: Seq[Double]) => {
+      require(v.length == dim,
+        s"embedding dim ${v.length} != corpus dim $dim (mixed-width corpus)")
       val planes = planesB.value
       Array.tabulate(tables) { t =>
         var code = 0L
@@ -136,8 +160,7 @@ object EmbedOps {
           val pl = planes(t * kBits + b)
           var s = 0.0
           var i = 0
-          val n = math.min(pl.length, v.length)
-          while (i < n) { s += pl(i) * v(i); i += 1 }
+          while (i < dim) { s += pl(i) * v(i); i += 1 }
           if (s > 0) code |= (1L << b)
           b += 1
         }
@@ -226,7 +249,7 @@ object EmbedOps {
       maxBroadcastVectors: Long = 200000L): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val codesU = bandCodesUdf(spark, tables, kBits)
+    val codesU = bandCodesUdf(spark, tables, kBits, corpusDim(e))
     val par = spark.sparkContext.defaultParallelism
     val postings = e.repartition(par).select(col("vec_id"),
       posexplode(codesU(col("v"))).as(Seq("band", "bucket")))

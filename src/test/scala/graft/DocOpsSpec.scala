@@ -343,6 +343,80 @@ class DocOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("hyperplane LSH sizes itself to the corpus dim: recall holds at dim != 64, ragged corpora fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // regression: round 3 hard-coded hyperplaneSig(64, ...) at the code
+    // UDF, so a 32-dim corpus would have hashed zero-padded projections
+    // (and a 768-dim one a truncated prefix) — recall degraded silently.
+    // Planted 32-dim corpus: 8 groups of 3 near-identical unit vectors
+    // (cos ~0.999) + 8 singletons; at that similarity the 16-table
+    // collision bound makes a missed pair ~1e-9, so embedDedup must
+    // reproduce the union-find over exact pairs EXACTLY.
+    val dimT = 32
+    val rnd = new java.util.Random(11L)
+    def unit(): Array[Double] = Array.fill(dimT)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val planted = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    for (g <- 0 until 8) {
+      val base = unit()
+      for (m <- 0 until 3)
+        planted += ((g * 10L + m, base.map(_ + 0.05 * rnd.nextGaussian())))
+    }
+    for (s <- 0 until 8) planted += ((1000L + s, unit()))
+    val dirT = java.nio.file.Files.createTempDirectory("graft-dim32").toString
+    planted.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dirT/embeddings.parquet")
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / math.sqrt(na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val exact = (for {
+      i <- planted.indices.iterator
+      j <- (i + 1) until planted.length
+      if cosR(planted(i)._2, planted(j)._2) >= 0.9
+    } yield {
+      val (a, b) = (planted(i)._1, planted(j)._1)
+      if (a < b) (a, b) else (b, a)
+    }).toSet
+    def cluster(ids: Seq[Long], pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      val p = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (p(r) != r) r = p(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) p(rb) = ra else p(ra) = rb }
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    val want = cluster(planted.map(_._1).toSeq, exact)
+    val got = EmbedOps.embedDedup(spark, dirT, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, s"dim-32 clusters diverge: ${(want.toSet -- got.toSet).take(5)}")
+    // annTopK on the same 32-dim corpus must agree with brute force on
+    // the planted near-identical neighbors (rank-1 is the cos~0.999 twin)
+    val ann = EmbedOps.annTopK(spark, dirT, k = 2).collect()
+      .map(r => ((r.getLong(0), r.getInt(2)), r.getLong(1))).toMap
+    for (g <- 0 until 8; m <- 0 until 3) {
+      val id = g * 10L + m
+      val grp = (0 until 3).map(g * 10L + _).toSet - id
+      assert(grp.contains(ann((id, 1))), s"vec $id rank-1 not in its planted group")
+    }
+    // ragged corpus (one 16-dim vector among 32-dim): the code UDF's
+    // require must fail the job loudly instead of hashing a prefix
+    val dirR = java.nio.file.Files.createTempDirectory("graft-ragged").toString
+    (planted.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) } :+
+      ((9999L, Array.fill(16)(1.0f))))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dirR/embeddings.parquet")
+    val ex = intercept[Exception] {
+      EmbedOps.embedDedup(spark, dirR, tau = 0.9).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("corpus dim")), s"wrong failure: $ex")
+  }
+
   test("embedding cosine dups == brute-force threshold pairs (exact set + score equality)") {
     val data = spark.read.parquet(s"$dir/embeddings.parquet")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
