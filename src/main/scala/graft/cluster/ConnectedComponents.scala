@@ -19,11 +19,15 @@ import org.apache.spark.storage.StorageLevel
   * 24 driver-materialized jobs / 6.3 s for a 30k-edge graph whose total
   * task work is <1 s, FLAT from 2 to 32 cores (the single largest
   * Amdahl term of the whole pipeline). The RDD loop submits ONE job per
-  * round with zero planning: the bidirectional edge table is hash-
-  * partitioned ONCE and every per-round join against it is narrow
-  * (co-partitioned), so a round moves only the (small) label table.
+  * TWO propagate steps with zero planning: the bidirectional edge
+  * table is hash-partitioned ONCE and every per-step join against it
+  * is narrow (co-partitioned), so a step moves only the (small) label
+  * table — and since the per-job floor, not the data, dominates round
+  * wall time, batching two steps per job halves the loop's job count
+  * for the same total shuffle work.
   *
-  * Rounds needed ≈ log2(diameter) thanks to pointer jumping. In this
+  * Propagate steps needed ≈ log2(diameter) thanks to pointer jumping
+  * (jobs ≈ half that). In this
   * engine's dedup workload the diameter is structurally small: hot
   * buckets emit STAR pairs (PairGen cap — diameter 2) and natural
   * near-dup chains are short.
@@ -142,61 +146,83 @@ object ConnectedComponents {
       .reduceByKey(part, min2)
       .persist(lvl)
 
-    var iter = 1
+    // one propagate step (lazy): narrow join vs bidir + message reduce
+    // + min-adopt; label changes ride `acc` (task retries can only
+    // overcount — harmless: convergence only tests for zero). Both the
+    // input and the result are co-partitioned by `part`, so chaining
+    // two steps inside one job adds only the (message-sized) reduce
+    // shuffle of the second step, no re-partitioning.
+    def propagate(cur: RDD[(K, K)], acc: org.apache.spark.util.LongAccumulator): RDD[(K, K)] = {
+      val msgs = bidir.join(cur, part)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, min2)
+      cur.leftOuterJoin(msgs, part)
+        .mapPartitions(_.map { case (id, (old, m)) =>
+          val nw = m match { case Some(x) if ord.lt(x, old) => x; case _ => old }
+          if (nw != old) acc.add(1L)
+          (id, nw)
+        }, preservesPartitioning = true)
+    }
+
+    // TWO propagate steps per JOB: on the measured workloads each
+    // round's wall is dominated by a fixed per-job floor (driver
+    // scheduling + planning latency, ~0.5 s — see
+    // doc/shuffle-scaling-notes.md), not by data, so batching two steps
+    // into one lazily-composed job halves the job count for the same
+    // total shuffle work. Convergence is detected WITHIN the job via
+    // two accumulators: c1 == 0 means the entering labels were already
+    // the fixpoint, c2 == 0 means step one reached it — either way the
+    // loop exits this job instead of scheduling another one. A graph
+    // that needed r propagate steps after the fused init now costs
+    // ceil((r+1)/2) loop jobs instead of r+1 (the old one-step rounds
+    // paid a full extra job just to observe zero changes).
+    var step = 1 // the fused init above is propagate step 1
+    var job = 0
     var converged = false
     var nLabels = 0L
     val retired = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
-    while (!converged && iter < maxIter) {
-      // ONE job: propagate (narrow join vs bidir + message reduce) →
-      // fixpoint test (changed-count rides an accumulator; task retries
-      // can only overcount — harmless: convergence only tests for
-      // zero) → pointer jump label'(v) = label(label(v)).
-      val changed = sc.longAccumulator(s"cc-changed-$iter")
-      val msgs = bidir.join(labels, part)
-        .map { case (_, (dst, lab)) => (dst, lab) }
-        .reduceByKey(part, min2)
-      val stepped = labels.leftOuterJoin(msgs, part)
-        .mapPartitions(_.map { case (id, (old, m)) =>
-          val nw = m match { case Some(x) if ord.lt(x, old) => x; case _ => old }
-          if (nw != old) changed.add(1L)
-          (id, nw)
-        }, preservesPartitioning = true)
-      // pointer jump label'(v) = label(label(v)) — DEFERRED to round 3:
-      // the jump costs two extra shuffles per round (the swap re-keys
-      // by label, the result re-keys by id) and buys nothing on graphs
-      // that converge in <= 2 propagate rounds — which star-capped pair
-      // streams (CAP hot buckets → diameter 2) and natural short
-      // near-dup chains do structurally. From round 3 on, the graph has
-      // proven itself deep and jumping restores the O(log diameter)
-      // bound for adversarial chains. The fixpoint (per-component min
-      // everywhere) is the same with or without jumping — only the
-      // round count changes — and `stepped` is already co-partitioned
-      // by `part` (leftOuterJoin preserves it), so skipping the jump
-      // skips its partitionBy too.
+    while (!converged && step < maxIter) {
+      val c1 = sc.longAccumulator(s"cc-changed-${step + 1}")
+      val c2 = sc.longAccumulator(s"cc-changed-${step + 2}")
+      val s1 = propagate(labels, c1)
+      val s2 = propagate(s1, c2)
+      // pointer jump label'(v) = label(label(v)) — DEFERRED past the
+      // first loop job (propagate steps 2-3): the jump costs two extra
+      // shuffles (the swap re-keys by label, the result re-keys by id)
+      // and buys nothing on graphs that converge in <= 3 propagate
+      // steps — which star-capped pair streams (CAP hot buckets →
+      // diameter 2) and natural short near-dup chains do structurally.
+      // From the second loop job on, the graph has proven itself deep
+      // and jumping restores the O(log diameter) bound for adversarial
+      // chains. The fixpoint (per-component min everywhere) is the same
+      // with or without jumping — only the step count changes — and
+      // `s2` is already co-partitioned by `part` (leftOuterJoin
+      // preserves it), so skipping the jump skips its partitionBy too.
       val next =
-        if (iter < 3) stepped.persist(lvl)
-        else stepped
+        if (step < 3) s2.persist(lvl)
+        else s2
           .mapPartitions(_.map(_.swap), preservesPartitioning = false)
-          .join(stepped, part)
+          .join(s2, part)
           .map { case (_, (id, lab2)) => (id, lab2) }
           .partitionBy(part)
           .persist(lvl)
-      // truncate the recovery chain every few rounds: a lost block
-      // otherwise recomputes recursively back to round 0 at cluster
-      // scale. With a configured checkpoint dir the cut is RELIABLE
-      // (survives executor loss — the write piggybacks on the count()
-      // job below, reading from the fresh cache); otherwise
-      // localCheckpoint (persist + lineage cut) keeps single-box runs
-      // cheap.
-      if (iter % 4 == 0) {
+      // truncate the recovery chain every couple of jobs (~4 propagate
+      // steps): a lost block otherwise recomputes recursively back to
+      // round 0 at cluster scale. With a configured checkpoint dir the
+      // cut is RELIABLE (survives executor loss — the write piggybacks
+      // on the count() job below, reading from the fresh cache);
+      // otherwise localCheckpoint (persist + lineage cut) keeps
+      // single-box runs cheap.
+      job += 1
+      if (job % 2 == 0) {
         if (spark.sparkContext.getCheckpointDir.isDefined) next.checkpoint()
         else next.localCheckpoint()
       }
       nLabels = next.count()
       retired += labels
       labels = next
-      converged = changed.value == 0L
-      iter += 1
+      converged = c1.value == 0L || c2.value == 0L
+      step += 2
     }
     if (nLabels == 0L) nLabels = labels.count() // degenerate: loop never entered
     // deferred unpersist: each round's labels feed the NEXT round's

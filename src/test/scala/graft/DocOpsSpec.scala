@@ -31,6 +31,43 @@ class DocOpsSpec extends AnyFunSuite {
     assert(got == Map(2L -> 2L, 10L -> 2L, 7L -> 7L), s"got $got")
   }
 
+  test("connected components: two propagate steps per job — a converged graph stops without an extra observer job") {
+    import spark.implicits._
+    // star with a non-min center: needs exactly 2 propagate steps after
+    // which nothing changes. The old one-step loop paid init+step (job
+    // 1), step (job 2, changes), then a FULL third job just to observe
+    // zero changes. The two-step loop folds the observer into job 1's
+    // second accumulator: total LOOP jobs = 1.
+    val center = 50L
+    val leaves = (1L to 10L).filter(_ != center)
+    val vertices = (center +: leaves).toDF("id")
+    val edges = leaves.map(l => (center, l)).toDF("src", "dst")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = graft.cluster.ConnectedComponents.run(spark, vertices, edges).collect()
+      // listener events are async: poll until the count is quiescent
+      var last = -1
+      var spins = 0
+      while (jobs.get() != last && spins < 30) {
+        last = jobs.get(); Thread.sleep(100); spins += 1
+      }
+      val got = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val minId = (center +: leaves).min
+      assert(got.values.toSet == Set(minId), s"star must be one component: $got")
+      // job budget: 2 edge-sizing counts (no edgeCountHint) + 1 loop job
+      // (steps 2+3: step 2 changes the leaves, step 3 observes zero via
+      // the second accumulator — no separate observer job) + 1 broadcast
+      // build for the singleton stitch + 1 final collect = 5. The
+      // one-step loop needed 6 (its observer round was its own job).
+      assert(jobs.get() == 5, s"expected 5 jobs (1 loop job), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("connected components: deep path graph converges under deferred pointer jumping") {
     import spark.implicits._
     // a 300-node path has diameter 299: plain propagation alone would
