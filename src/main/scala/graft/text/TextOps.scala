@@ -442,11 +442,104 @@ object TextOps extends Serializable {
     * applies the identical HAVING prune so the query stays
     * hash-matched. */
   def ngramJaccardPruned(spark: SparkSession, dir: String, dfCap: Int = 64): DataFrame = {
-    val grams = docs(spark, dir)
+    import spark.implicits._
+    val d = docs(spark, dir)
       .withColumn("t", lower(col("text")))
       .filter(length(col("t")) >= 3)
+    // SINGLE-DERIVATION gram path. Profiling the round-3 plan at sf0.1
+    // found the real costs in this order (doc/plan-audit.md's ×4-explode
+    // hypothesis was wrong — measured, a persist of the grams table was
+    // SLOWER than the recompute, the columnar cache write costing more
+    // than the narrow explode saves):
+    //  1. the documents parquet reads as ONE split at sf0.1, so the
+    //     gram explode ran single-threaded (1.94 s of the 2.33 s
+    //     query). A repartition BEFORE the explode — gated on the input
+    //     being under-parallel, so a deployment-scale table with real
+    //     splits never pays a full-data shuffle — takes it to 0.53 s;
+    //  2. the df prune as a count WINDOW over gram (one exchange+sort,
+    //     0.66 s to candidates) beats the groupBy + join-back spelling
+    //     (1.16 s) once the explode parallelizes, and leaves the
+    //     pairing self-join consuming the SAME pruned subtree on both
+    //     sides — which canonicalizes to ONE exchange (ReusedExchange:
+    //     the explode executes once, spec-asserted);
+    //  3. the exact re-score runs over candidate TEXTS in a memoized
+    //     mapPartitions (the verifyPairsWithTexts shape): per-doc
+    //     distinct code-point trigram sets are computed ~once per
+    //     partition and intersected exactly, eliminating the per-doc
+    //     count aggregate and BOTH recompute gram joins.
+    // Semantics are unchanged: grams are 3 CODE POINTS (Spark/DuckDB
+    // substring both count code points), sets are distinct-per-doc, and
+    // the integer threshold emits the same bit-stable row shape, so the
+    // DuckDB oracle stays hash-matched.
+    val par = spark.sparkContext.defaultParallelism
+    val dp = if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+    val grams = dp
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))).as("gram"))
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val kept = grams
+      .withColumn("df", count(lit(1)).over(dfW))
+      .filter(col("df") <= dfCap)
+      .select("doc_id", "gram")
+    val cand = kept.toDF("id1", "gram").join(kept.toDF("id2", "gram"), "gram")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val t1 = d.select(col("doc_id").as("id1"), col("t").as("tx1"))
+    val t2 = d.select(col("doc_id").as("id2"), col("t").as("tx2"))
+    // per-partition memoized gram sets (the generic memoized() helper
+    // returns a Double scorer; this pass emits three integers, so it
+    // carries its own bounded memo map with the same discipline)
+    cand.join(t1, "id1").join(t2, "id2")
+      .select(col("id1"), col("id2"), col("tx1"), col("tx2"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, java.util.HashSet[String]]()
+        def get(t: String): java.util.HashSet[String] = {
+          if (memo.size > 100000) memo.clear()
+          var r = memo.get(t)
+          if (r == null) { r = triGramSet(t); memo.put(t, r) }
+          r
+        }
+        it.flatMap { case (id1, id2, tx1, tx2) =>
+          val g1 = get(tx1); val g2 = get(tx2)
+          val (small, big) = if (g1.size <= g2.size) (g1, g2) else (g2, g1)
+          var shared = 0L
+          val sit = small.iterator()
+          while (sit.hasNext) if (big.contains(sit.next())) shared += 1
+          val n1 = g1.size.toLong; val n2 = g2.size.toLong
+          if (shared * 5 >= (n1 + n2) * 2)
+            Iterator.single((id1, id2, shared, n1 + n2 - shared))
+          else Iterator.empty
+        }
+      }
+      .toDF("id1", "id2", "shared", "union_sz")
+  }
+
+  /** Distinct code-point trigrams of an (already lowercased) text —
+    * EXACTLY the SQL enumeration `substring(t, i, 3)` for i in
+    * 1..len-2, where both engines' substring counts CODE POINTS (a
+    * Java-chars loop would desynchronize on supplementary planes). */
+  private def triGramSet(t: String): java.util.HashSet[String] = {
+    val cps = t.codePoints().toArray
+    val out = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + 2 < cps.length) {
+      sb.setLength(0)
+      sb.appendCodePoint(cps(i)).appendCodePoint(cps(i + 1)).appendCodePoint(cps(i + 2))
+      out.add(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** The round-3 pure-DataFrame spelling of [[ngramJaccardPruned]] over
+    * an already-derived distinct trigram posting table (doc_id, gram) —
+    * kept as the oracle-shaped twin (the spec asserts it produces
+    * identical rows to the fused form) and as the entry point for a
+    * caller with a persisted/checkpointed grams table, where all four
+    * consumers read the materialized postings. */
+  def ngramJaccardPrunedOver(grams: DataFrame, dfCap: Int = 64): DataFrame = {
     val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val kept = grams.join(
       grams.groupBy("gram").agg(count(lit(1)).as("df"))

@@ -352,6 +352,42 @@ class DocOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram pruned single-derivation: identical rows, gram explode planned once") {
+    import org.apache.spark.sql.functions._
+    def generates(df: org.apache.spark.sql.DataFrame): Int = {
+      // count the FINAL adaptive plan only — AQE's toString appends an
+      // "== Initial Plan ==" echo that textually repeats every subtree
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      "(?m)^[^\\n]*\\bGenerate explode".r.findAllIn(plan).length
+    }
+    // the round-3 four-consumer spelling, via the grams-table overload
+    // with the grams derived inline (no persist) — the comparison twin
+    val grams = TextOps.docs(spark, dir)
+      .withColumn("t", lower(col("text")))
+      .filter(length(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))).as("gram"))
+    val old4 = TextOps.ngramJaccardPrunedOver(grams)
+    val b = old4.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    // four-consumer form: Catalyst re-derives the explode once per
+    // consumer (per-doc count, df prune, two recompute sides)
+    assert(generates(old4) >= 4, s"expected >=4 explode derivations, got ${generates(old4)}")
+    // the fused form: window-prune + reused-exchange self-join + memoized
+    // text re-score — the explode appears at most twice in the plan text
+    // (the two self-join branches, which canonicalize to one exchange)
+    val fused = TextOps.ngramJaccardPruned(spark, dir)
+    val a = fused.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(a == b, s"fused plan rows differ: missing=${(b.toSet -- a.toSet).take(3)} extra=${(a.toSet -- b.toSet).take(3)}")
+    assert(a.nonEmpty)
+    val g = generates(fused)
+    assert(g <= 2, s"fused plan derives the explode $g times (want <= 2)")
+    val plan = fused.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(g <= 1 || plan.contains("ReusedExchange"),
+      s"two explode branches without a ReusedExchange:\n$plan")
+  }
+
   test("ANN recall@5 vs brute-force cosine top-5") {
     val bf = EmbedOps.cosineTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
