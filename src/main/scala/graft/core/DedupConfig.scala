@@ -61,6 +61,16 @@ final case class DedupConfig(
     // Recall loss is confined to pairs whose ONLY shared fingerprints
     // are boilerplate-hot; the knob is the documented scale control.
     substrDfCap: Int = 64,
+    // expected per-task character budget for the generalized-suffix-
+    // array pass (TextOps.substrDedupSA): a source whose total text
+    // exceeds this is block-partitioned into G = ceil(chars/cap) hash
+    // groups and every unordered group PAIR becomes one GSA shard, so
+    // per-task memory stays ~20 B x cap regardless of source skew
+    // (replication factor G — work grows as G x source, the inherent
+    // cost of exact all-pairs containment without pruning; the
+    // winnowing family stays the sub-quadratic path). 16M chars
+    // ~= 320 MB/task at the GSA's ~20 B/char.
+    saShardMaxChars: Long = 16L << 20,
     // --- skew handling (CAP/CBR/HAR analogs, src/cap_rewrite.c / src/cbr_rewrite.c) ---
     bucketCap: Int = 64, // all-pairs floor: CBR raises the EFFECTIVE cap to the skewQuantile-quantile of bucket sizes (SkewControl.adaptiveCap); star-pairs above (CAP, R4)
     skewQuantile: Double = 0.99, // bucket-size quantile that defines a "hot" bucket (CBR, A4/R3)
@@ -119,6 +129,7 @@ final case class DedupConfig(
   require(substrGram >= 2 && substrWindow >= 1,
     "substrGram must be >= 2 and substrWindow >= 1")
   require(substrDfCap >= 1, "substrDfCap must be >= 1")
+  require(saShardMaxChars >= 1L, "saShardMaxChars must be >= 1")
   require(bucketCap >= 2,
     s"bucketCap ($bucketCap) must be >= 2: below 2 even a genuine dup pair's " +
       "bucket would star-pair to itself and emit nothing")

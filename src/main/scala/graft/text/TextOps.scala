@@ -659,45 +659,108 @@ object TextOps extends Serializable {
     * after lowercasing) and same output shape (id1 < id2, one row per
     * containment pair with unequal texts).
     *
-    * Scale shape: ONE shuffle (groupByKey on source), then each shard
-    * builds one GSA in O(shard log shard) and reads every containment
-    * pair off the LCP array in output-linear time — strictly better
-    * than the per-pair `contains` verify for shards with many
-    * candidates. Memory is O(shard bytes x ~20) per task, so the shard
-    * key bounds it; at corpus scale the caller re-shards (the winnowing
-    * LSH family remains the unbounded-shard path, SURVEY.md §7.4 risk
-    * 4). destor analog: exact verify after a candidate probe
-    * (reference src/index/index.c:181-204).
+    * Scale shape: per-source totals (narrow agg) decide a group count
+    * G = ceil(source chars / cfg.saShardMaxChars); docs hash into G
+    * groups BY TEXT, and every unordered group pair {g1, g2} becomes
+    * one GSA shard (the doc replicates into its G shards) — classic
+    * block-partitioned theta-join decomposition, so per-task memory is
+    * bounded at ~2 x saShardMaxChars x ~20 B regardless of source
+    * skew, while every cross-doc pair still meets in exactly ONE shard
+    * (its two groups' shard), keeping the operator EXACT. The common
+    * un-skewed source has G = 1 and degenerates to the single-shard
+    * plan. Cost honesty: replication is G-fold, so work grows as
+    * G x source — the inherent price of exact all-pairs containment
+    * without pruning (the winnowing family remains the sub-quadratic
+    * path, SURVEY.md §7.4 risk 4); a SINGLE document longer than the
+    * cap still lands in one group (texts are atomic) and the
+    * O(shard) `require` inside SuffixArrays stays the hard backstop.
+    * destor analog: exact verify after a candidate probe, with
+    * segment-scoped processing bounding every unit (reference
+    * src/index/index.c:181-204, src/index/segmenting_method.c:73-114).
     */
   def substrDedupSA(spark: SparkSession, dir: String,
       cfg: DedupConfig = DedupConfig.default): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
+    val cap = cfg.saShardMaxChars
+    val d = docs(spark, dir)
       .select(col("source"), col("doc_id"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= cfg.substrMinChars)
-      .as[(String, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
-        // build the GSA over DISTINCT texts only: identical copies are
-        // the common case in a dedup corpus, and each copy would both
-        // bloat the SA and force a wasted LCP-interval rescan (equal
-        // texts never pair). Containment is a property of the TEXTS,
-        // so pairs expand across the duplicate groups afterwards —
-        // that expansion is output-sized, exactly what the oracle's
-        // quadratic join emits.
-        val byText = rows.map(r => (r._2, r._3)).toArray
-          .groupBy(_._2).map { case (t, g) => (t, g.map(_._1)) }.toArray
-        val texts = byText.map(_._1)
-        val ids = byText.map(_._2)
-        SuffixArrays.containmentPairs(texts).iterator.flatMap { case (i, j) =>
+
+    // shared per-shard GSA walk: rows are (doc_id, text, gid); a cross
+    // shard (g1 < g2) owns ONLY its cross-group pairs (same-group pairs
+    // belong to that group's self shard — they would otherwise be
+    // emitted G times). Builds the GSA over DISTINCT texts only:
+    // identical copies are the common case in a dedup corpus, and each
+    // copy would both bloat the SA and force a wasted LCP-interval
+    // rescan (equal texts never pair). Containment is a property of
+    // the TEXTS, so pairs expand across the duplicate groups afterwards
+    // — that expansion is output-sized, exactly what the oracle's
+    // quadratic join emits. No dups possible: containment is
+    // one-directional (strictly shorter in longer), texts are distinct,
+    // a doc lives in ONE source, and each text pair meets in exactly
+    // one shard — so no post-group distinct (and no second shuffle) is
+    // needed.
+    def shardPairs(g1: Int, g2: Int,
+        rows: Iterator[(Long, String, Int)]): Iterator[(Long, Long)] = {
+      val byText = rows.toArray
+        .groupBy(_._2).map { case (t, g) => (t, g.map(_._1), g.head._3) }.toArray
+      val texts = byText.map(_._1)
+      val ids = byText.map(_._2)
+      val gids = byText.map(_._3)
+      SuffixArrays.containmentPairs(texts).iterator
+        .filter { case (i, j) => g1 == g2 || gids(i) != gids(j) }
+        .flatMap { case (i, j) =>
           for (a <- ids(i).iterator; b <- ids(j))
             yield (math.min(a, b), math.max(a, b))
         }
-        // no dups possible: containment is one-directional (strictly
-        // shorter in longer), texts are distinct, and a doc lives in
-        // ONE source shard — so no post-group distinct (and no second
-        // shuffle) is needed
-      }
-      .toDF("id1", "id2")
+    }
+
+    // SIZE-GATED plan choice (the rerankTopK discipline): one cheap
+    // pre-scan decides whether any source exceeds the per-task budget.
+    // The totals come from the table's n_chars METADATA column — a
+    // 2-column pruned scan, no text decode — because they only feed a
+    // memory BUDGET (the gate and the group count G), not the pair
+    // semantics: n_chars tracks length(text), and lower() changes char
+    // counts only in exotic locales, noise far below the hash-variance
+    // slack the budget already tolerates. The common un-skewed corpus
+    // then runs the ONE-shuffle plan (group by source, no replication);
+    // only a corpus with a mega-source pays the block-partitioned
+    // re-shard's totals join + G-fold replication.
+    // unfiltered on purpose: every source in `d` is guaranteed a totals
+    // row (the inner join below must never drop docs), at the cost of
+    // counting below-min-length docs into the budget — an overestimate,
+    // i.e. slightly more groups, never an overflow
+    val totals = docs(spark, dir)
+      .groupBy("source").agg(sum(col("n_chars")).as("src_chars"))
+    val maxRow = totals.agg(max(col("src_chars"))).head()
+    val maxChars = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxChars <= cap) {
+      d.select(col("doc_id"), col("t"), col("source"))
+        .as[(Long, String, String)]
+        .groupByKey(_._3)
+        .flatMapGroups { (_: String, rows: Iterator[(Long, String, String)]) =>
+          shardPairs(0, 0, rows.map(r => (r._1, r._2, 0)))
+        }
+        .toDF("id1", "id2")
+    } else {
+      // gid hashes the TEXT (not the doc id): identical copies land in
+      // one group, so the per-shard distinct-text dedup keeps working,
+      // and a pair's shard assignment is a pure function of its two
+      // texts. Each doc replicates to the G shards {min(gid,h),
+      // max(gid,h)} — the (g,g) self shard once, each cross shard once.
+      val sharded = d.join(totals, "source")
+        .withColumn("nG", expr(s"greatest(1L, (src_chars + ${cap - 1}) div $cap)").cast("int"))
+        .withColumn("gid", pmod(xxhash64(col("t")), col("nG")).cast("int"))
+        .select(col("source"), col("doc_id"), col("t"), col("gid"),
+          explode(expr("sequence(0, nG - 1)")).as("h"))
+        .select(col("source"), col("doc_id"), col("t"), col("gid"),
+          least(col("gid"), col("h")).as("g1"), greatest(col("gid"), col("h")).as("g2"))
+      sharded.as[(String, Long, String, Int, Int, Int)]
+        .groupByKey(r => (r._1, r._5, r._6))
+        .flatMapGroups { (key: (String, Int, Int), rows: Iterator[(String, Long, String, Int, Int, Int)]) =>
+          shardPairs(key._2, key._3, rows.map(r => (r._2, r._3, r._4)))
+        }
+        .toDF("id1", "id2")
+    }
   }
 }

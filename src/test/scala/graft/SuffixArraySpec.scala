@@ -98,6 +98,57 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got == want, s"got=$got")
   }
 
+  test("mega-source re-shard: block-partitioned group pairs emit identical pairs under a tiny shard cap") {
+    import spark.implicits._
+    // one dominant source whose total chars exceed the cap many times
+    // over — the round-3 shape that would have grown a single GSA shard
+    // unboundedly. Deterministic corpus with planted containments that
+    // must cross arbitrary hash groups: 30 base docs, 12 contained
+    // substrings of them, 4 exact duplicate copies, plus a second small
+    // source as a control.
+    val rnd = new Random(13)
+    def word() = Array.fill(4 + rnd.nextInt(4))(('a' + rnd.nextInt(6)).toChar).mkString
+    def doc(n: Int) = Array.fill(n)(word()).mkString(" ")
+    val base = (0 until 30).map(i => (100L + i, doc(20 + rnd.nextInt(30))))
+    val contained = (0 until 12).map { i =>
+      val (bid, bt) = base(rnd.nextInt(base.length))
+      // a >=substrMinChars-length slice of a base doc
+      val start = rnd.nextInt(math.max(1, bt.length - cfg.substrMinChars - 1))
+      (500L + i, bt.substring(start, math.min(bt.length, start + cfg.substrMinChars + 20 + rnd.nextInt(40))))
+    }
+    val copies = (0 until 4).map(i => (800L + i, base(i)._2))
+    val control = Seq((900L, doc(30)), (901L, doc(25)))
+    val rows =
+      (base ++ contained ++ copies).map { case (id, t) => (id, t, "en", "mega", t.length.toLong) } ++
+      control.map { case (id, t) => (id, t, "en", "ctl", t.length.toLong) }
+    val dirT = java.nio.file.Files.createTempDirectory("sa-mega").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dirT/documents.parquet")
+    val totalChars = rows.filter(_._4 == "mega").map(_._2.length).sum
+    // tiny cap forces G >= 5 groups -> >= 15 block shards
+    val capSmall = totalChars / 5
+    val gotSharded = TextOps.substrDedupSA(spark, dirT,
+      cfg.copy(saShardMaxChars = capSmall)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // no duplicate emissions (each text pair meets in exactly one shard)
+    assert(gotSharded.distinct.size == gotSharded.size,
+      s"duplicate pairs from overlapping shards: ${gotSharded.groupBy(identity).filter(_._2.size > 1).keys.take(5)}")
+    val gotSingle = TextOps.substrDedupSA(spark, dirT, cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = rows.map { case (id, t, _, src, _) => (id, src, t.toLowerCase) }
+      .filter(_._3.length >= cfg.substrMinChars)
+    val want = (for {
+      a <- local.iterator
+      b <- local
+      if a._1 < b._1 && a._2 == b._2 && a._3 != b._3 &&
+        (a._3.contains(b._3) || b._3.contains(a._3))
+    } yield (a._1, b._1)).toSet
+    assert(want.nonEmpty, "planted corpus must contain containment pairs")
+    assert(gotSingle == want, s"single-shard missed=${(want -- gotSingle).take(5)}")
+    assert(gotSharded.toSet == want,
+      s"re-shard missed=${(want -- gotSharded.toSet).take(5)} extra=${(gotSharded.toSet -- want).take(5)}")
+  }
+
   test("substrDedupSA == local brute force on sf0.001; superset of the df-pruned winnowing path") {
     val local = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source", "text").collect()
