@@ -32,7 +32,7 @@ object ConfigParser {
     "shingle-size", "minhash-k", "minhash-seed1", "minhash-seed2",
     "bands", "rows-per-band", "simhash-bits", "hamming-max",
     "phash-blocks", "phash-combo", "jaccard-min", "psnr-min",
-    "substr-gram", "substr-window", "substr-df-cap",
+    "substr-gram", "substr-window", "substr-df-cap", "sa-shard-max-chars",
     "bucket-cap", "skew-quantile", "index-value-length", "bloom-fpp",
     "container-bytes", "cfl-usage-threshold", "cfl-require",
     "signature-only", "seed")
@@ -118,6 +118,7 @@ object ConfigParser {
       substrGram = i("substr-gram", base.substrGram),
       substrWindow = i("substr-window", base.substrWindow),
       substrDfCap = i("substr-df-cap", base.substrDfCap),
+      saShardMaxChars = l("sa-shard-max-chars", base.saShardMaxChars),
       bucketCap = i("bucket-cap", base.bucketCap),
       skewQuantile = d("skew-quantile", base.skewQuantile),
       indexValueLength = i("index-value-length", base.indexValueLength),
@@ -154,6 +155,7 @@ object ConfigParser {
     put("substr-gram", cfg.substrGram)
     put("substr-window", cfg.substrWindow)
     put("substr-df-cap", cfg.substrDfCap)
+    put("sa-shard-max-chars", cfg.saShardMaxChars)
     put("bucket-cap", cfg.bucketCap)
     put("skew-quantile", cfg.skewQuantile)
     put("index-value-length", cfg.indexValueLength)
