@@ -27,7 +27,7 @@ final class ChunkIngest(spark: SparkSession, workDir: String,
                         algo: String = "fastcdc",
                         p: Chunker.Params = Chunker.docParams) {
 
-  private val io = new TableIO(spark, workDir)
+  private val io: TableBackend = new TableIO(spark, workDir)
   private val FpStore = "chunk_fps"
 
   def ingested: Seq[String] = io.batches(FpStore)

@@ -48,7 +48,7 @@ final class IncrementalDedup(
 
   import IncrementalDedup._
 
-  val io = new TableIO(spark, workDir)
+  val io: TableBackend = new TableIO(spark, workDir)
 
   private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 

@@ -42,7 +42,7 @@ final class Retention(
 
   import Retention.Report
 
-  val io = new TableIO(spark, workDir)
+  val io: TableBackend = new TableIO(spark, workDir)
 
   /** Expire the given ingest batches from every store, reclaim index
     * entries that reference them, and recompute the cluster table. */

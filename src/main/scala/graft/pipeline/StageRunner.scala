@@ -25,7 +25,7 @@ final class StageRunner(
     runId: String,
     inputKey: String = "") {
 
-  val io = new TableIO(spark, workDir)
+  val io: TableBackend = new TableIO(spark, workDir)
   /** Stage key = config hash + input-identity fingerprint: a resumed
     * run in the same workDir with a DIFFERENT corpus (but same config)
     * must recompute, not silently return the previous run's tables —

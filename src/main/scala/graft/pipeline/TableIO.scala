@@ -3,9 +3,58 @@ package graft.pipeline
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** The table-layer contract every pipeline component is written
+  * against (their `io` fields are typed as this trait, so swapping the
+  * backend touches NO caller): atomic whole-table publish with a
+  * config-hash guard, append-oriented batch stores with manifest-first
+  * drop, and metadata-only row counts. Each operation maps 1:1 onto
+  * Iceberg DDL when those jars are available (none ship in this
+  * sandbox — SURVEY.md §7.1):
+  *
+  *  - publish/publishWithFiles  → CREATE OR REPLACE TABLE ... AS
+  *                                (atomic snapshot swap); the config
+  *                                hash rides a snapshot property
+  *  - isPublished/exists/tables → catalog lookup + snapshot property
+  *  - appendBatch               → an append commit (one snapshot),
+  *                                runId as a snapshot/partition tag
+  *  - rewriteBatch              → REPLACE of that partition (overwrite
+  *                                commit filtered to the batch id)
+  *  - dropBatch                 → DELETE WHERE batch = id + snapshot
+  *                                expiry (manifest-first discipline is
+  *                                exactly Iceberg's: metadata commit
+  *                                precedes file reclaim)
+  *  - readBatches/Tagged        → plain scans (batch id a column)
+  *  - batchRowCount/fileCounts  → manifest/metadata tables, no job
+  *  - gcOrphans                 → remove_orphan_files
+  *  - drop                      → DROP TABLE PURGE
+  */
+trait TableBackend {
+  def fileCounts(table: String): Seq[(String, Long)]
+  def publish(df: DataFrame, table: String, configHash: String, runId: String): Long
+  def publishWithFiles(df: DataFrame, table: String, configHash: String,
+      runId: String): (Long, Seq[(String, Long)])
+  def isPublished(table: String, configHash: String): Boolean
+  def read(table: String): DataFrame
+  def readMaterialized(table: String): DataFrame
+  def batches(table: String): Seq[String]
+  def appendBatch(df: DataFrame, table: String, runId: String): Long
+  def rewriteBatch(df: DataFrame, table: String, runId: String): Unit
+  def dropBatch(table: String, runId: String): Unit
+  def readBatch(table: String, runId: String): DataFrame
+  def batchRowCount(table: String, runId: String): Long
+  def readBatches(table: String): DataFrame
+  def readBatchesTagged(table: String, tagCol: String): DataFrame
+  def hasBatches(table: String): Boolean = batches(table).nonEmpty
+  def gcOrphans(): Seq[String]
+  def exists(table: String): Boolean
+  def drop(table: String): Unit
+  def tables(): Seq[String]
+}
+
 /** Atomic table publish on any Hadoop FileSystem — the parquet+manifest
   * stand-in for Iceberg commits (no Iceberg jars ship in this sandbox;
-  * the API is shaped so an Iceberg backend can replace it 1:1).
+  * the [[TableBackend]] contract is shaped so an Iceberg backend can
+  * replace it 1:1).
   *
   * Publish protocol (the analog of destor's sealed-container +
   * recipe-store commit, reference: src/storage/containerstore.c:131-216
@@ -22,7 +71,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per stage (once to count, once for per-file lineage), which at 100 TB
   * is two extra full-table passes per stage.
   */
-final class TableIO(spark: SparkSession, baseDir: String) {
+final class TableIO(spark: SparkSession, baseDir: String) extends TableBackend {
   private def fs: FileSystem = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def tablePath(t: String) = new Path(baseDir, t)
   private def manifestPath(t: String) = new Path(tablePath(t), "_MANIFEST.json")
@@ -204,9 +253,6 @@ final class TableIO(spark: SparkSession, baseDir: String) {
         .withColumn(tagCol, lit(r))
     }.reduce(_ unionByName _)
   }
-
-  /** Whether a store exists with at least one committed batch. */
-  def hasBatches(table: String): Boolean = batches(table).nonEmpty
 
   /** GC crashed-publish leftovers: `*.tmp-*` directories are invisible
     * by protocol; delete them and report what was reclaimed. */
