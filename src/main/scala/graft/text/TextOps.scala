@@ -21,6 +21,23 @@ object TextOps extends Serializable {
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Repartition GATED on the plan being under-parallel: a small
+    * parquet table reads as one split (the whole documents table at
+    * sf0.1 is a single row group), so any CPU-heavy narrow stage built
+    * on it — winnowing, MinHash UDFs, gram explodes — runs on ONE core
+    * regardless of the session's parallelism (measured: the
+    * ngram-pruned gram explode was 1.94 s of a 2.33 s query before
+    * this). A deployment-scale table with real splits never pays the
+    * shuffle — the gate only fires when the scan has fewer partitions
+    * than cores. */
+  private def spread(df: DataFrame): DataFrame = {
+    // streaming plans can't be partition-inspected (df.rdd is illegal);
+    // micro-batch parallelism is the source's concern there
+    if (df.isStreaming) return df
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Exact dedup: hash-groupBy on md5(text) — destor's exact-physical
     * DDFS index (reference: src/index/index.c:140-217) as one
     * aggregation; canonical = min doc_id (first-occurrence-wins,
@@ -207,7 +224,10 @@ object TextOps extends Serializable {
       val sh = Sig.shingleHashes(text, cfg.shingleSize)
       Sig.bandKeys(Sig.minhash(sh, cfg), cfg)
     })
-    d.select(col("doc_id"), posexplode(mh(col("text"))).as(Seq("band", "bucket")))
+    // the shingle+minhash UDF is the heavy narrow stage — spread it
+    // when the scan is under-parallel (one-split tables otherwise run
+    // it on one core)
+    spread(d).select(col("doc_id"), posexplode(mh(col("text"))).as(Seq("band", "bucket")))
   }
 
   /** Candidate pairs from any (band,bucket,doc_id) posting table —
@@ -282,7 +302,7 @@ object TextOps extends Serializable {
       hammingMax: Int = 6): DataFrame = {
     val d = docs(spark, dir)
     val sim = udf((text: String) => Sig.simhash64(Sig.shingleHashes(text, 2), null))
-    val sigs = d.select(col("doc_id"), sim(col("text")).as("simhash"))
+    val sigs = spread(d).select(col("doc_id"), sim(col("text")).as("simhash"))
     val bandU = udf((s: Long) => Sig.hammingComboKeys(s, 9, 3))
     val postings = sigs.select(col("doc_id"), posexplode(bandU(col("simhash"))).as(Seq("band", "bucket")))
     val cand = bucketPairs(postings, 64)
@@ -372,7 +392,7 @@ object TextOps extends Serializable {
     val cfg = DedupConfig.default
     val mhBands = udf((text: String) =>
       Sig.bandKeys(Sig.minhash(sortedGramSet(text, 3), cfg), cfg))
-    val postings = d.select(col("doc_id"), posexplode(mhBands(col("text"))).as(Seq("band", "bucket")))
+    val postings = spread(d).select(col("doc_id"), posexplode(mhBands(col("text"))).as(Seq("band", "bucket")))
     val cand = bucketPairs(postings, 64)
     val memoScore = memoized((t: String) => sortedGramSet(t, 3))(Sig.jaccard)
     verifyPairsWithTexts(d, cand, memoScore)
@@ -471,9 +491,7 @@ object TextOps extends Serializable {
     // substring both count code points), sets are distinct-per-doc, and
     // the integer threshold emits the same bit-stable row shape, so the
     // DuckDB oracle stays hash-matched.
-    val par = spark.sparkContext.defaultParallelism
-    val dp = if (d.rdd.getNumPartitions < par) d.repartition(par) else d
-    val grams = dp
+    val grams = spread(d)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))).as("gram"))
     val dfW = org.apache.spark.sql.expressions.Window.partitionBy("gram")
@@ -597,7 +615,10 @@ object TextOps extends Serializable {
     val d = docs(spark, dir)
       .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= cfg.substrMinChars)
-    // winnowed fingerprints per doc in ONE NARROW PASS: winnowing is a
+    // winnowed fingerprints per doc in ONE NARROW PASS (spread across
+    // cores when the scan is under-parallel — the MD5 winnowing is the
+    // query's heaviest narrow stage and a one-split table would run it
+    // on one core): winnowing is a
     // per-document local computation, so the gram hashing + window-min
     // selection runs in mapPartitions (the formulation the image
     // pipeline's captionFingerprints always used). A previous version
@@ -612,7 +633,7 @@ object TextOps extends Serializable {
     // hex of UTF-8 bytes (= Spark md5() = DuckDB md5()), window min is
     // lexicographic on hex strings (= varchar min both engines), full
     // windows only, distinct per doc.
-    val fps = d.as[(Long, String, String)]
+    val fps = spread(d).as[(Long, String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, src, t) =>
