@@ -352,6 +352,27 @@ class DocOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("spread gate fires only on under-parallel scans (no gratuitous shuffle on real multi-split tables)") {
+    import spark.implicits._
+    val rows = docLocal.take(40).toSeq.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val one = java.nio.file.Files.createTempDirectory("spread-one").toString
+    val many = java.nio.file.Files.createTempDirectory("spread-many").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$one/documents.parquet")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.mode("overwrite").parquet(s"$many/documents.parquet")
+    def hasRoundRobin(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning")
+    assert(hasRoundRobin(TextOps.simhashDedup(spark, one)),
+      "one-split scan must spread before the simhash UDF")
+    assert(!hasRoundRobin(TextOps.simhashDedup(spark, many)),
+      "multi-split scan must NOT pay a repartition")
+    // and the gate is semantics-neutral
+    val a = TextOps.simhashDedup(spark, one).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = TextOps.simhashDedup(spark, many).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("ngram pruned single-derivation: identical rows, gram explode planned once") {
     import org.apache.spark.sql.functions._
     def generates(df: org.apache.spark.sql.DataFrame): Int = {
