@@ -297,13 +297,27 @@ object TextOps extends Serializable {
 
   /** SimHash near-dup pairs: 64-bit simhash over token hashes,
     * hamming-band LSH, verified hamming <= max. Returns
-    * (id1, id2, hamming). */
+    * (id1, id2, hamming).
+    *
+    * The combo-key scheme is DERIVED from the threshold: blocks =
+    * hammingMax + 3 with 3-slice combo keys, so the pigeonhole
+    * guarantee (a pair within hammingMax differs in at most hammingMax
+    * slices, leaving >= 3 clean slices = one shared key) holds for ANY
+    * threshold — the old hard-coded (9, 3) silently lost recall above
+    * hammingMax = 6 (the same trap as the fixed-64 hyperplane dim).
+    * The default threshold still produces the identical (9, 3) keys. */
   def simhashDedup(spark: SparkSession, dir: String,
       hammingMax: Int = 6): DataFrame = {
+    // width 64/blocks must stay >= 3 bits or slice values degenerate
+    // into huge buckets; hamming > 18 on a 64-bit simhash is far
+    // outside near-dup territory anyway
+    require(hammingMax >= 0 && hammingMax <= 18,
+      s"hammingMax ($hammingMax) must be in [0, 18] for the 64-bit combo scheme")
+    val blocks = hammingMax + 3
     val d = docs(spark, dir)
     val sim = udf((text: String) => Sig.simhash64(Sig.shingleHashes(text, 2), null))
     val sigs = spread(d).select(col("doc_id"), sim(col("text")).as("simhash"))
-    val bandU = udf((s: Long) => Sig.hammingComboKeys(s, 9, 3))
+    val bandU = udf((s: Long) => Sig.hammingComboKeys(s, blocks, 3))
     val postings = sigs.select(col("doc_id"), posexplode(bandU(col("simhash"))).as(Seq("band", "bucket")))
     val cand = bucketPairs(postings, 64)
     // simhash is one Long per doc — the compact join needs no arrays

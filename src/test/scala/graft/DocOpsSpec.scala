@@ -167,9 +167,26 @@ class DocOpsSpec extends AnyFunSuite {
     }).toSet
     val got = TextOps.simhashDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // hamming-band LSH with 8 bands guarantees hamming<=7 candidates:
-    // result must be EXACTLY the brute-force set
+    // the combo-key pigeonhole guarantees every hamming<=6 pair shares
+    // a key: result must be EXACTLY the brute-force set
     assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+
+    // regression (the fixed-(9,3) trap): a WIDER threshold must derive
+    // a wider combo scheme and stay exactly brute-force-equal — the
+    // old hard-coded keys silently lost recall above hammingMax 6
+    val want10 = (for {
+      i <- sims.indices.iterator
+      j <- (i + 1) until sims.length
+      if Sig.hamming(sims(i)._2, sims(j)._2) <= 10
+    } yield {
+      val (a, b) = (sims(i)._1, sims(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val got10 = TextOps.simhashDedup(spark, dir, hammingMax = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got10 == want10,
+      s"missed=${(want10 -- got10).take(5)} extra=${(got10 -- want10).take(5)}")
+    assert(want10.size > want.size, "threshold widening must add pairs on this corpus")
   }
 
   test("ngram jaccard pairs are correct and winnowing finds the high-sim ones") {
