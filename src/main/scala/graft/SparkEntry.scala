@@ -71,6 +71,12 @@ object SparkEntry {
     "q_minhash_dedup" -> ((s, d) => TextOps.minhashDedup(s, d, cfg)),
     "q_source_minhash" -> ((s, d) => TextOps.sourceMinhashDigest(s, d, cfg)),
     "q_simhash_dedup" -> ((s, d) => TextOps.simhashDedup(s, d)),
+    // self-verifying gates (the q_recall_gate pattern): each compares
+    // its rows-only sibling against an in-query exact oracle and emits
+    // a constant verdict row, so the driver hash-checks the property
+    "q_simhash_gate" -> ((s, d) => TextOps.simhashGate(s, d)),
+    "q_ann_gate" -> ((s, d) => EmbedOps.annGate(s, d)),
+    "q_ivf_gate" -> ((s, d) => EmbedOps.ivfGate(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardDedup(s, d)),
     "q_ngram_exact" -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
     "q_ngram_pruned" -> ((s, d) => TextOps.ngramJaccardPruned(s, d)),
@@ -404,6 +410,17 @@ object SparkEntry {
         | CAST(1 AS INTEGER) AS pairs_found,
         | CAST(1 AS INTEGER) AS recall_ok,
         | CAST(1 AS INTEGER) AS precision_ok""".stripMargin,
+    // self-verifying gates: the in-query comparison against the exact
+    // oracle makes each row a constant at any corpus size
+    "q_simhash_gate" ->
+      """SELECT CAST(1 AS INTEGER) AS pairs_found,
+        | CAST(1 AS INTEGER) AS lsh_equals_brute""".stripMargin,
+    "q_ann_gate" ->
+      """SELECT CAST(1 AS INTEGER) AS pairs_found,
+        | CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+    "q_ivf_gate" ->
+      """SELECT CAST(1 AS INTEGER) AS pairs_found,
+        | CAST(1 AS INTEGER) AS exact_match""".stripMargin,
     "q_embed_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -361,6 +361,46 @@ object EmbedOps {
     }
   }
 
+  /** Driver-visible ANN gate (the q_recall_gate pattern for the
+    * rows-only `q_embed_ann`): micro-recall@k of the LSH ANN against
+    * the brute-force cosine top-k, computed IN-QUERY (each side has
+    * exactly k rows per vector, so micro recall == mean per-query
+    * recall), emitted as a constant-shaped verdict row. The bar sits
+    * under the measured 0.89-0.91 with honest margin (this corpus is
+    * near-random — the hardest ANN regime; DocOpsSpec gates the same
+    * property at 0.7). No corpus-size literals in the row, so the
+    * oracle SQL is a pure constant at any sf. */
+  def annGate(spark: SparkSession, dir: String, k: Int = 5,
+      recallMin: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val bf = cosineTopK(spark, dir, k).select("vec_id", "neighbor_id")
+    val ann = annTopK(spark, dir, k).select("vec_id", "neighbor_id")
+    val total = bf.count()
+    val hits = bf.join(ann, Seq("vec_id", "neighbor_id"), "left_semi").count()
+    Seq((
+      if (total > 0) 1 else 0,
+      if (total > 0 && hits >= recallMin * total) 1 else 0))
+      .toDF("pairs_found", "recall_ok")
+  }
+
+  /** Driver-visible IVF exactness gate: with nprobe == nC the probe
+    * covers every cell, so [[ivfTopK]] must reproduce [[cosineTopK]]
+    * RANK-FOR-RANK (IvfSpec proves it; this row makes the property a
+    * hash-checked driver signal). Emitted as the constant verdict
+    * row — any broken rank anywhere hash-mismatches. */
+  def ivfGate(spark: SparkSession, dir: String, k: Int = 5, nC: Int = 16): DataFrame = {
+    import spark.implicits._
+    val brute = cosineTopK(spark, dir, k).select("vec_id", "rk", "neighbor_id")
+    val ivf = ivfTopK(spark, dir, k, nC = nC, nprobe = nC).select("vec_id", "rk", "neighbor_id")
+    val n = brute.count()
+    val agree = brute.join(ivf, Seq("vec_id", "rk", "neighbor_id"), "left_semi").count()
+    val nIvf = ivf.count()
+    Seq((
+      if (n > 0) 1 else 0,
+      if (agree == n && nIvf == n) 1 else 0))
+      .toDF("pairs_found", "exact_match")
+  }
+
   /** Label-centroid assignment: mean vector per label, then each
     * vector's nearest centroid — the IVF coarse-quantizer step. */
   def nearestCentroid(spark: SparkSession, dir: String): DataFrame = {

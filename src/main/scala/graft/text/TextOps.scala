@@ -329,6 +329,33 @@ object TextOps extends Serializable {
       .select("id1", "id2", "hamming")
   }
 
+  /** Driver-visible SimHash gate (the q_recall_gate pattern for the
+    * rows-only `q_simhash_dedup`): the LSH pair set must EQUAL the
+    * brute-force hamming pair set — the combo-key pigeonhole makes
+    * this exact, not approximate — verified IN-QUERY against an
+    * all-pairs cross join over the one-Long signatures (cheap at
+    * verify scale; never a deployment path) and emitted as a constant
+    * verdict row, so a single missed or invented pair anywhere
+    * hash-mismatches. */
+  def simhashGate(spark: SparkSession, dir: String,
+      hammingMax: Int = 6): DataFrame = {
+    import spark.implicits._
+    val lsh = simhashDedup(spark, dir, hammingMax).select("id1", "id2")
+    val sim = udf((text: String) => Sig.simhash64(Sig.shingleHashes(text, 2), null))
+    val sigs = docs(spark, dir).select(col("doc_id"), sim(col("text")).as("sh"))
+    val brute = sigs.toDF("id1", "sim1").crossJoin(sigs.toDF("id2", "sim2"))
+      .filter(col("id1") < col("id2"))
+      .filter(expr(s"cast(bit_count(sim1 ^ sim2) as int) <= $hammingMax"))
+      .select("id1", "id2")
+    val nBrute = brute.count()
+    val missing = brute.except(lsh).count()
+    val extra = lsh.except(brute).count()
+    Seq((
+      if (nBrute > 0) 1 else 0,
+      if (missing == 0 && extra == 0) 1 else 0))
+      .toDF("pairs_found", "lsh_equals_brute")
+  }
+
   private val HexDigits = "0123456789abcdef".toCharArray
 
   private def hexLower(b: Array[Byte]): String = {

@@ -653,6 +653,15 @@ class DocOpsSpec extends AnyFunSuite {
     assert(agree >= data.length - 2, s"agreement $agree/${data.length}")
   }
 
+  test("self-verifying driver gates report clean verdicts (simhash/ann/ivf)") {
+    assert(TextOps.simhashGate(spark, dir).collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      == Seq((1, 1)))
+    assert(EmbedOps.annGate(spark, dir).collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      == Seq((1, 1)))
+    assert(EmbedOps.ivfGate(spark, dir).collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      == Seq((1, 1)))
+  }
+
   test("lang id emits deterministic predictions from the profile set") {
     val rows = TextOps.langId(spark, dir).collect()
     assert(rows.length == docLocal.length)
