@@ -63,11 +63,17 @@ object SparkEntry {
     "q_har_sparse" -> ((s, d) => TextOps.harSparse(s, d)),
     "q_greedy_topk" -> ((s, d) => graft.ops.GreedySelect.greedyTopKDocs(s, d)),
     "q_trace_replay" -> ((s, d) => graft.sources.TraceSource.traceReplay(s, d)),
+    "q_fsl_trace" -> ((s, d) => graft.sources.FslSource.fslReplay(s, d)),
     // --- byte-level CDC chunker family (P2-P6) over the documents table ---
     "q_chunk_fastcdc" -> ((s, d) => graft.ops.ChunkOps.chunkDocs(s, d, "fastcdc")),
     "q_chunk_cover" -> ((s, d) => graft.ops.ChunkOps.chunkCover(s, d)),
     "q_chunk_backup" -> ((s, d) => graft.ops.ChunkOps.chunkBackup(s, d)),
     "q_chunk_restore" -> ((s, d) => graft.ops.ChunkOps.chunkRestore(s, d)),
+    // --- restore-cache simulations (T2/T3/T4/O5) + R6 + W2 ---
+    "q_segment_recon" -> ((s, d) => RelationalOps.segmentReconstruct(s, d)),
+    "q_restore_cache" -> ((s, d) => graft.ops.RestoreSim.restoreCacheQuery(s, d)),
+    "q_cache_gate" -> ((s, d) => graft.ops.RestoreSim.cacheGate(s, d)),
+    "q_cache_rewrite" -> ((s, d) => graft.ops.RestoreSim.cacheAwareRewriteQuery(s, d)),
     "q_minhash_dedup" -> ((s, d) => TextOps.minhashDedup(s, d, cfg)),
     "q_source_minhash" -> ((s, d) => TextOps.sourceMinhashDigest(s, d, cfg)),
     "q_simhash_dedup" -> ((s, d) => TextOps.simhashDedup(s, d)),
@@ -152,6 +158,62 @@ object SparkEntry {
         |  count(DISTINCT text) AS n_unique,
         |  CAST(sum(n_chars) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+    // FSL hashfile round-trip (S3): one v7 binary hashfile per source
+    // (200-char slices, md5 fingerprints), replayed through the binary
+    // parser; DuckDB rebuilds the identical chunk set from `documents`.
+    "q_fsl_trace" ->
+      """WITH ch0 AS (
+        |  SELECT source, doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(length(text)/200.0) AS BIGINT) - 1)) AS i
+        |  FROM documents WHERE n_chars > 0),
+        |ch AS (
+        |  SELECT source, doc_id,
+        |    md5(substring(text, CAST(i*200 + 1 AS INTEGER), 200)) AS fp,
+        |    strlen(substring(text, CAST(i*200 + 1 AS INTEGER), 200)) AS sz
+        |  FROM ch0)
+        |SELECT source, count(*) AS n_chunks,
+        |  count(DISTINCT doc_id) AS n_files,
+        |  count(DISTINCT fp) AS n_unique,
+        |  CAST(sum(sz) AS BIGINT) AS total_bytes,
+        |  min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM ch GROUP BY 1""".stripMargin,
+    // W2 segment reconstruction: identical token-stream construction +
+    // running-count reconstruction on both engines.
+    "q_segment_recon" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |mx AS (SELECT user_id, max(rn) AS mxrn FROM ev GROUP BY 1),
+        |tokens AS (
+        |  SELECT user_id, rn*10+5 AS ord, 'chunk' AS kind, value FROM ev
+        |  UNION ALL
+        |  SELECT user_id, rn*10, 'seg_start', 0.0 FROM ev
+        |    WHERE rn = 1 OR event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT user_id, rn*10-1, 'seg_end', 0.0 FROM ev
+        |    WHERE rn > 1 AND event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT user_id, mxrn*10+9, 'seg_end', 0.0 FROM mx),
+        |recon AS (
+        |  SELECT user_id, kind, value,
+        |    CAST(sum(CASE WHEN kind = 'seg_start' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ord) AS BIGINT) AS seg
+        |  FROM tokens)
+        |SELECT user_id, seg, count(*) AS n_chunks,
+        |  round(sum(value), 2) AS seg_value
+        |FROM recon WHERE kind = 'chunk' GROUP BY 1, 2""".stripMargin,
+    // Restore-cache gate: paging-theory invariants as a constant verdict
+    // row (Belady optimality, LRU stack property, coverage floors).
+    "q_cache_gate" ->
+      """SELECT count(DISTINCT source) AS n_streams,
+        |  CAST(1 AS BIGINT) AS opt_le_lru_ok,
+        |  CAST(1 AS BIGINT) AS lru_monotone_ok,
+        |  CAST(1 AS BIGINT) AS window_ge_exact_ok,
+        |  CAST(1 AS BIGINT) AS ge_distinct_ok,
+        |  CAST(1 AS BIGINT) AS bigcache_exact_ok
+        |FROM documents""".stripMargin,
     "q_agg_stats" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -182,6 +182,48 @@ object RelationalOps {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
 
+  /** W2 segment reconstruction: rebuild segment groups from IN-BAND
+    * control tokens (reference src/filter_phase.c:43-65 — the filter
+    * phase re-assembles segments between CHUNK_SEGMENT_START/END
+    * signal chunks flowing inside the data stream, src/destor.h:180-184).
+    * `tokens` carries one row per stream element — kind ∈ {seg_start,
+    * chunk, seg_end} — and reconstruction is a running count of start
+    * tokens: no state machine, one window, scale-free. Returns the
+    * chunk rows tagged with their reconstructed seg id. */
+  def reconstructSegments(tokens: DataFrame, stream: String, ord: String): DataFrame = {
+    val w = Window.partitionBy(stream).orderBy(ord)
+    tokens
+      .withColumn("seg",
+        sum(when(col("kind") === "seg_start", 1).otherwise(0)).over(w))
+      .filter(col("kind") === "chunk")
+  }
+
+  /** Driver query for W2: interleave explicit start/end tokens into the
+    * per-user event stream (boundaries where G2's predicate fires),
+    * then reconstruct the segments FROM THE TOKENS ALONE and aggregate
+    * per segment. The DuckDB oracle rebuilds the identical token stream
+    * and reconstruction in SQL, so the round trip hash-matches. */
+  def segmentReconstruct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+    val chunks = ev.select(col("user_id"), (col("rn") * 10 + 5).as("ord"),
+      lit("chunk").as("kind"), col("value"))
+    val boundary = ev.filter(col("rn") === 1 || col("event_id") % 7 === 0)
+    val starts = boundary.select(col("user_id"), (col("rn") * 10).as("ord"),
+      lit("seg_start").as("kind"), lit(0.0).as("value"))
+    val ends = boundary.filter(col("rn") > 1)
+      .select(col("user_id"), (col("rn") * 10 - 1).as("ord"),
+        lit("seg_end").as("kind"), lit(0.0).as("value"))
+      .union(ev.groupBy("user_id").agg(max("rn").as("mx"))
+        .select(col("user_id"), (col("mx") * 10 + 9).as("ord"),
+          lit("seg_end").as("kind"), lit(0.0).as("value")))
+    val tokens = chunks.union(starts).union(ends)
+    reconstructSegments(tokens, "user_id", "ord")
+      .groupBy("user_id", "seg")
+      .agg(count(lit(1)).as("n_chunks"), round(sum("value"), 2).as("seg_value"))
+  }
+
   /** FIFO newest-first value lists (kv-store O6 analog, reference
     * src/index/kvstore_htable.c:49-54): per user, the event types
     * ordered newest-first. */
