@@ -374,6 +374,10 @@ object Bench {
       "embed_clusters" -> minOf2(graft.sim.EmbedOps.embedDedup(spark32, sfDir).count()),
       "cfl_rewrite" -> minOf2(graft.text.TextOps.cflRewrite(spark32, sfDir).count()),
       "chunk_fastcdc" -> minOf2(graft.ops.ChunkOps.chunkDocs(spark32, sfDir, "fastcdc").count()),
+      // round-4 coverage: binary trace round trip + the per-stream
+      // restore-cache policy sweep (LRU/Belady/assembly, single pass)
+      "fsl_trace" -> minOf2(graft.sources.FslSource.fslReplay(spark32, sfDir).count()),
+      "restore_cache" -> minOf2(graft.ops.RestoreSim.restoreCacheQuery(spark32, sfDir).count()),
       "roundtrip_verify" -> {
         // table-backed corpus (the real calling shape): a bare
         // CorpusGen dataset would re-generate pixels on each of the
