@@ -205,20 +205,28 @@ object RelationalOps {
     * and reconstruction in SQL, so the round trip hash-matches. */
   def segmentReconstruct(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // every event emits its own token candidates in ONE pass (a union
+    // spelling re-derived the scan+window subtree once per branch —
+    // three exchanges of the same table); the explode keeps the
+    // user_id partitioning, so the reconstruction window and the final
+    // agg re-sort WITHOUT further exchanges: one shuffle end-to-end
     val ev = t(spark, dir, "events")
       .withColumn("rn", row_number().over(w))
-    val chunks = ev.select(col("user_id"), (col("rn") * 10 + 5).as("ord"),
-      lit("chunk").as("kind"), col("value"))
-    val boundary = ev.filter(col("rn") === 1 || col("event_id") % 7 === 0)
-    val starts = boundary.select(col("user_id"), (col("rn") * 10).as("ord"),
-      lit("seg_start").as("kind"), lit(0.0).as("value"))
-    val ends = boundary.filter(col("rn") > 1)
-      .select(col("user_id"), (col("rn") * 10 - 1).as("ord"),
-        lit("seg_end").as("kind"), lit(0.0).as("value"))
-      .union(ev.groupBy("user_id").agg(max("rn").as("mx"))
-        .select(col("user_id"), (col("mx") * 10 + 9).as("ord"),
-          lit("seg_end").as("kind"), lit(0.0).as("value")))
-    val tokens = chunks.union(starts).union(ends)
+      .withColumn("mx", max(col("rn")).over(Window.partitionBy("user_id")))
+      .withColumn("is_b", col("rn") === 1 || col("event_id") % 7 === 0)
+    val tokens = ev
+      .select(col("user_id"), explode(array(
+        struct((col("rn") * 10 - 1).as("ord"), lit("seg_end").as("kind"),
+          lit(0.0).as("value"), (col("is_b") && col("rn") > 1).as("keep")),
+        struct((col("rn") * 10).as("ord"), lit("seg_start").as("kind"),
+          lit(0.0).as("value"), col("is_b").as("keep")),
+        struct((col("rn") * 10 + 5).as("ord"), lit("chunk").as("kind"),
+          col("value").as("value"), lit(true).as("keep")),
+        struct((col("rn") * 10 + 9).as("ord"), lit("seg_end").as("kind"),
+          lit(0.0).as("value"), (col("rn") === col("mx")).as("keep")))).as("tk"))
+      .filter(col("tk.keep"))
+      .select(col("user_id"), col("tk.ord").as("ord"),
+        col("tk.kind").as("kind"), col("tk.value").as("value"))
     reconstructSegments(tokens, "user_id", "ord")
       .groupBy("user_id", "seg")
       .agg(count(lit(1)).as("n_chunks"), round(sum("value"), 2).as("seg_value"))
