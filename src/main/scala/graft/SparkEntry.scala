@@ -213,7 +213,7 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS window_ge_exact_ok,
         |  CAST(1 AS BIGINT) AS ge_distinct_ok,
         |  CAST(1 AS BIGINT) AS bigcache_exact_ok
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE n_chars > 0""".stripMargin,
     "q_agg_stats" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -8,6 +8,10 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd+ args: run only the named queries (local iteration)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"Verify: unknown query name(s): ${unknown.mkString(", ")} — " +
+        "a typo would otherwise silently write nothing")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.local(cpus.toInt, cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()

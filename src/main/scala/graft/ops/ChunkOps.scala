@@ -65,21 +65,32 @@ object ChunkOps {
     * the same two destor pays (index probe + container write); the
     * stats are map-side partial aggregations over each.
     */
-  def chunkBackup(spark: SparkSession, dir: String, algo: String = "fastcdc",
-                  p: Chunker.Params = Chunker.docParams,
-                  containerBytes: Long = 4096L): DataFrame = {
-    val ord = Window.partitionBy("fp")
-      .orderBy(col("doc_id"), col("chunk_idx"))
-    val flagged = chunkDocs(spark, dir, algo, p)
-      .withColumn("is_first", row_number().over(ord) === 1)
-    // pack with a conditional size: dup rows contribute 0 bytes, so the
-    // container boundaries over the unique rows are exactly pack()'s,
-    // while everything stays ONE plan (no duplicate chunking subtree)
-    val packed = ContainerOps.pack(flagged,
+  /** J1 first-occurrence flag over a chunk stream — the dedup decision
+    * every backup-shaped consumer (chunkBackup, the restore-sim
+    * recipes) must share verbatim. */
+  private[graft] def flagFirst(chunks: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("fp").orderBy(col("doc_id"), col("chunk_idx"))
+    chunks.withColumn("is_first", row_number().over(ord) === 1)
+  }
+
+  /** W3 container assignment with the ONE pack parameterization the
+    * backup job defines (32 fp-hash shards, stream order, conditional
+    * size: dup rows contribute 0 bytes, so container boundaries over
+    * the unique rows are exactly pack()'s while everything stays ONE
+    * plan). RestoreSim's recipes reuse this so their container ids are
+    * chunkBackup's by construction, not by copy-paste. */
+  private[graft] def packFlagged(flagged: DataFrame, containerBytes: Long): DataFrame =
+    ContainerOps.pack(flagged,
       shard = pmod(hash(col("fp")), lit(32)).cast("string"),
       order = col("doc_id") * lit(1000000) + col("chunk_idx"),
       size = when(col("is_first"), col("len")).otherwise(lit(0L)),
       containerBytes = containerBytes)
+
+  def chunkBackup(spark: SparkSession, dir: String, algo: String = "fastcdc",
+                  p: Chunker.Params = Chunker.docParams,
+                  containerBytes: Long = 4096L): DataFrame = {
+    val flagged = flagFirst(chunkDocs(spark, dir, algo, p))
+    val packed = packFlagged(flagged, containerBytes)
     packed.agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("is_first"), 1L).otherwise(0L)).as("n_unique"),

@@ -153,14 +153,8 @@ object RestoreSim {
              containerBytes: Long = 4096L): DataFrame = {
     val src = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "source")
     val chunks = ChunkOps.chunkDocs(spark, dir, algo)
-    val ord = Window.partitionBy("fp").orderBy(col("doc_id"), col("chunk_idx"))
-    val flagged = chunks.withColumn("is_first", row_number().over(ord) === 1)
-    val packed = ContainerOps.pack(flagged,
-      shard = pmod(hash(col("fp")), lit(32)).cast("string"),
-      order = col("doc_id") * lit(1000000) + col("chunk_idx"),
-      size = when(col("is_first"), col("len")).otherwise(lit(0L)),
-      containerBytes = containerBytes)
-    val store = packed.filter(col("is_first"))
+    val store = ChunkOps.packFlagged(ChunkOps.flagFirst(chunks), containerBytes)
+      .filter(col("is_first"))
       .select(col("fp"), col("container_id").as("cid"))
     chunks.join(store, Seq("fp"))
       .join(src, Seq("doc_id"))
@@ -220,16 +214,26 @@ object RestoreSim {
     * everything reads exactly n_distinct. One constant verdict row,
     * hash-checked by the driver against literal SQL. */
   def cacheGate(spark: SparkSession, dir: String): DataFrame = {
+    // bounded-scale verification INSTRUMENT (the same class as the
+    // O(n²) oracle twins, never run at corpus scale): the exact-Belady
+    // and everything-fits-LRU legs use Int.MaxValue window/capacity so
+    // the invariants hold for ANY stream the instrument can buffer —
+    // a finite 2^20 window would silently turn Belady approximate on
+    // longer streams and fail the constant verdict for a non-bug
     val sim = cacheSim(recipe(spark, dir), () => Seq(
-      new LruSim(4), new LruSim(16), new LruSim(1 << 20),
-      new BeladySim(4, 1 << 20), new BeladySim(4, 64, name = "belady_w64"),
+      new LruSim(4), new LruSim(16), new LruSim(Int.MaxValue),
+      new BeladySim(4, Int.MaxValue), new BeladySim(4, 64, name = "belady_w64"),
       new AssemblySim(4, 4096L)))
-    val p = sim.groupBy("source").pivot("policy", Seq("lru", "belady", "belady_w64", "assembly"))
-      .agg(min(when(col("cache_size") === 4, col("reads"))).as("k4"),
-        min(when(col("cache_size") === 16, col("reads"))).as("k16"),
-        min(when(col("cache_size") === (1 << 20), col("reads"))).as("kinf"))
-      .join(sim.groupBy("source").agg(
-        max("n_accesses").as("n_accesses"), max("n_distinct").as("n_distinct")), Seq("source"))
+    def rd(pol: String, k: Int) =
+      min(when(col("policy") === pol && col("cache_size") === k, col("reads")))
+    // single conditional-aggregation pass: the simulation pipeline
+    // executes ONCE (a pivot + self-join spelling ran it twice)
+    val p = sim.groupBy("source").agg(
+      rd("lru", 4).as("lru_k4"), rd("lru", 16).as("lru_k16"),
+      rd("lru", Int.MaxValue).as("lru_kinf"),
+      rd("belady", 4).as("belady_k4"), rd("belady_w64", 4).as("belady_w64_k4"),
+      rd("assembly", 4).as("assembly_k4"),
+      max("n_accesses").as("n_accesses"), max("n_distinct").as("n_distinct"))
     p.agg(
       count(lit(1)).as("n_streams"),
       min(when(col("belady_k4") <= col("lru_k4"), 1L).otherwise(0L)).as("opt_le_lru_ok"),
@@ -276,7 +280,6 @@ object RestoreSim {
           var open = 0L      // open container ordinal for this stream
           var fill = 0L
           var total = 0L     // restore_aware total_size
-          var ccf = 0L       // distinct containers touched by the sim
           var nChunks, nDups, nFlagged, nDenied, nRewritten = 0L
           // W3 overflow check first, then pack into the open container
           def writeTo(len: Long): String = {
@@ -302,9 +305,11 @@ object RestoreSim {
             }
             // restore_aware_update with the container a restore reads
             total += len
-            if (!aware.contains(finalCid)) ccf += 1
             aware.feed(finalCid, len)
           }
+          // ccf = the LRU's miss count — LruSim already counts exactly
+          // the containers the simulated restore touches
+          val ccf = aware.finish()
           val ocf = (total + containerBytes - 1) / containerBytes
           val cfl = math.min(1.0, ocf.toDouble / math.max(ccf, 1L))
           out += ((src, nChunks, nDups, nFlagged, nDenied, nRewritten,
@@ -327,17 +332,11 @@ object RestoreSim {
 
   /** recipe() + the two decision columns cacheAwareRewrite consumes. */
   private[graft] def flaggedRecipeFor(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = ChunkOps.chunkDocs(spark, dir, "fastcdc")
-    val ordFp = Window.partitionBy("fp").orderBy(col("doc_id"), col("chunk_idx"))
-    val firsts = chunks.withColumn("is_first", row_number().over(ordFp) === 1)
-    val packed = ContainerOps.pack(firsts,
-      shard = pmod(hash(col("fp")), lit(32)).cast("string"),
-      order = col("doc_id") * lit(1000000) + col("chunk_idx"),
-      size = when(col("is_first"), col("len")).otherwise(lit(0L)),
-      containerBytes = 4096L)
-    val store = packed.filter(col("is_first"))
+    val firsts = ChunkOps.flagFirst(ChunkOps.chunkDocs(spark, dir, "fastcdc"))
+    val store = ChunkOps.packFlagged(firsts, containerBytes = 4096L)
+      .filter(col("is_first"))
       .select(col("fp"), col("container_id").as("cid"))
-    val src = chunks.sparkSession.read.parquet(s"$dir/documents.parquet")
+    val src = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source")
     val ordStream = Window.partitionBy("source").orderBy(col("doc_id"), col("chunk_idx"))
     firsts.select("doc_id", "chunk_idx", "fp", "len", "is_first")

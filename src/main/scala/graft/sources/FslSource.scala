@@ -160,11 +160,19 @@ object FslSource {
     out.result()
   }
 
+  // char-table hex, allocation-free per byte (the P10 codec discipline
+  // — a per-byte format call would dominate a 10^9-chunk trace parse)
+  private val HexChars = "0123456789abcdef".toCharArray
   private def hex(a: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(a.length * 2)
+    val out = new Array[Char](a.length * 2)
     var i = 0
-    while (i < a.length) { sb.append(f"${a(i) & 0xff}%02x"); i += 1 }
-    sb.toString
+    while (i < a.length) {
+      val b = a(i) & 0xff
+      out(2 * i) = HexChars(b >>> 4)
+      out(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   // ------------------------------------------------------------------
@@ -244,11 +252,15 @@ object FslSource {
           if (chnkMethod == Variable) {
             if (version >= 7) putIntLE(d, c.size.toInt)
             else if (version >= 3) putLongLE(d, c.size)
+            nBytes += c.size
           }
           d.write(c.fp)
           if (version >= 6) d.write(c.cratio & 0xff)
-          nBytes += c.size
         }
+        // fixed-chunking records carry no sizes (derived from params at
+        // parse time, WChunk.size stays 0), so the header's data-volume
+        // field comes from the file size instead
+        if (chnkMethod == Fixed) nBytes += f.fileSize
         raf.write(buf.toByteArray)
         nFiles += 1
         nChunks += f.chunks.size
@@ -298,28 +310,15 @@ object FslSource {
   def fslReplay(spark: SparkSession, dir: String): DataFrame = {
     val tmp = new File(sys.props("java.io.tmpdir"),
       "graft-fsl-" + Integer.toHexString(dir.hashCode))
-    def rm(f: File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    val chunks = docChunks(spark, dir)
-    val expected = chunks.select("source").distinct()
+    // expected stream list from the documents table directly — one row
+    // per doc, NOT via the exploded chunk plan (pruning removes the md5
+    // but not the row-multiplying explode)
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars") > 0).select("source").distinct()
       .collect().map(r => r.getString(0) + ".hf").sorted
-    rm(tmp)
-    require(expected.nonEmpty, s"fslReplay: $dir/documents.parquet has no chunkable rows")
-    // write-check-retry, as in TraceSource.traceReplay: the glob below
-    // resolves at plan time, so an incomplete write must fail HERE
-    var attempt = 0
-    var missing = expected
-    while (missing.nonEmpty && attempt < 2) {
-      if (attempt > 0) rm(tmp)
-      makeFslTrace(chunks, tmp.getPath)
-      missing = expected.filterNot(f => new File(tmp, f).isFile)
-      attempt += 1
+    StreamFiles.writeChecked(tmp, expected.toSeq, "fslReplay") {
+      makeFslTrace(docChunks(spark, dir), tmp.getPath)
     }
-    require(missing.isEmpty,
-      s"fslReplay: ${missing.length}/${expected.length} hashfiles missing " +
-        s"after $attempt attempts (first: ${missing.headOption.getOrElse("")})")
     read(spark, tmp.getPath + "/*.hf")
       .groupBy(col("trace_name").as("source"))
       .agg(count(lit(1)).as("n_chunks"),

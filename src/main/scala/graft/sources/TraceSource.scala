@@ -108,34 +108,16 @@ object TraceSource {
   def traceReplay(spark: SparkSession, dir: String): DataFrame = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
       "graft-trace-" + Integer.toHexString(dir.hashCode))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    // expected stream files, known up front (one per source): the read
-    // below resolves a glob at plan time, so a silently-incomplete
-    // write would otherwise surface as an empty-glob FileNotFound in a
-    // LATER job (observed once as a transient). Write, CHECK, retry
-    // once, and only then fail loudly.
+    // expected stream files, known up front (one per source); the
+    // write-check-retry scaffold (StreamFiles) guards the plan-time
+    // glob below against a silently-incomplete write (observed once as
+    // a transient empty-glob FileNotFound in a LATER job)
     val expected = docs.select("source").distinct()
       .collect().map(r => r.getString(0) + ".trace").sorted
-    // stale streams from a previous invocation are removed even when
-    // nothing will be rewritten — an empty documents table must fail
-    // loudly below, never silently replay the previous corpus's files
-    rm(tmp)
-    require(expected.nonEmpty, s"traceReplay: $dir/documents.parquet has no rows")
-    var attempt = 0
-    var missing = expected
-    while (missing.nonEmpty && attempt < 2) {
-      if (attempt > 0) rm(tmp)
+    StreamFiles.writeChecked(tmp, expected.toSeq, "traceReplay") {
       makeTrace(docs, tmp.getPath)
-      missing = expected.filterNot(f => new java.io.File(tmp, f).isFile)
-      attempt += 1
     }
-    require(missing.isEmpty,
-      s"traceReplay: ${missing.length}/${expected.length} stream files missing " +
-        s"after $attempt attempts (first: ${missing.headOption.getOrElse("")})")
     read(spark, tmp.getPath + "/*.trace")
       .groupBy(col("trace_name").as("source"))
       .agg(count(lit(1)).as("n_chunks"),
