@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * restore <storeDir> <runId|all> <outDir>           rebuild rows + verify
   * delete  <storeDir> <runId>[,<runId>...]           expire batches (GC)
   * stats   <storeDir>                                store state (no job)
-  * trace   <dataDir> <outDir>                        make_trace analog
+  * trace   <dataDir> <outDir> [--format text|fsl]    make_trace analog (S2/S3)
   * }}}
   *
   * Shared options: `--config <file>` then any number of
@@ -34,7 +34,7 @@ object Cli {
       |  restore <storeDir> <runId|all> <outDir>
       |  delete  <storeDir> <runId>[,<runId>...]
       |  stats   <storeDir>
-      |  trace   <dataDir> <outDir>
+      |  trace   <dataDir> <outDir> [--format text|fsl]
       |options: --config <file>   -p "<key> <value>"   --local <cores>""".stripMargin
 
   /** A malformed command line — caught in [[run]]/[[main]] and turned
@@ -95,10 +95,16 @@ object Cli {
   }
 
   def run(args0: Seq[String], spark: SparkSession): String = {
-    import spark.implicits._
     val (cfg, args) =
       try config(args0)
       catch { case e: BadArgs => return s"${e.getMessage}\n$usage" }
+    try dispatch(args, cfg, spark)
+    catch { case e: BadArgs => s"${e.getMessage}\n$usage" }
+  }
+
+  private def dispatch(args: Seq[String], cfg: DedupConfig,
+                       spark: SparkSession): String = {
+    import spark.implicits._
     args match {
 
       case Seq("backup", storeDir, input, "--id", runId) =>
@@ -167,11 +173,25 @@ object Cli {
         (s"store $storeDir: ${ids.length} batches, ${imgCounts.map(_._2).sum} images" +: per)
           .mkString("\n")
 
-      case Seq("trace", dataDir, outDir) =>
-        graft.sources.TraceSource.makeTrace(
-          graft.text.TextOps.docs(spark, dataDir), outDir)
+      case Seq("trace", dataDir, outDir, rest @ _*) =>
+        val fmt = rest match {
+          case Seq() => "text"
+          case Seq("--format", f) if f == "text" || f == "fsl" => f
+          case Seq("--format", f) =>
+            throw new BadArgs(s"trace: unknown format '$f' (text|fsl)")
+          case other => throw new BadArgs(s"trace: unexpected args ${other.mkString(" ")}")
+        }
+        // destor consumes both its own text grammar and FSL binary
+        // hashfiles as trace input (src/trace_phase.c, src/fsl/) — the
+        // CLI writes either, one stream file per source
+        if (fmt == "fsl")
+          graft.sources.FslSource.makeFslTrace(
+            graft.sources.FslSource.docChunks(spark, dataDir), outDir)
+        else
+          graft.sources.TraceSource.makeTrace(
+            graft.text.TextOps.docs(spark, dataDir), outDir)
         val n = Option(new java.io.File(outDir).list()).map(_.length).getOrElse(0)
-        s"trace: wrote $n streams to $outDir"
+        s"trace: wrote $n $fmt streams to $outDir"
 
       case _ => usage
     }

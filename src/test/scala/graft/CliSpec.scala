@@ -118,4 +118,19 @@ class CliSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("signature-only"), ex.getMessage)
   }
+
+  test("trace --format fsl writes binary hashfiles the FSL reader replays") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-cli-fsl").toString
+    val msg = Cli.run(Seq("trace", dir, out, "--format", "fsl"), spark)
+    assert(msg.contains("fsl streams"), msg)
+    val back = graft.sources.FslSource.read(spark, s"$out/*.hf")
+    val want = graft.sources.FslSource.docChunks(spark, dir).count()
+    assert(back.count() === want)
+    // default stays the text grammar; unknown formats fail with usage
+    val outT = Files.createTempDirectory("graft-cli-txt").toString
+    assert(Cli.run(Seq("trace", dir, outT), spark).contains("text streams"))
+    assert(Cli.run(Seq("trace", dir, outT, "--format", "nope"), spark)
+      .contains("unknown format"))
+  }
 }
