@@ -43,16 +43,15 @@ class GoldenSpec extends AnyFunSuite {
       .toSeq
   }
 
-  test("sf-tiny pipeline output matches the committed golden file") {
-    val got = currentLines()
+  private def checkGolden(path: java.nio.file.Path, got: Seq[String]): Unit = {
     if (sys.env.get("GRAFT_REGOLD").contains("1")) {
-      java.nio.file.Files.createDirectories(goldenPath.getParent)
-      java.nio.file.Files.writeString(goldenPath, got.mkString("", "\n", "\n"))
-      fail(s"golden file regenerated at $goldenPath — review the diff and commit")
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, got.mkString("", "\n", "\n"))
+      fail(s"golden file regenerated at $path — review the diff and commit")
     }
-    assert(java.nio.file.Files.exists(goldenPath),
-      s"missing $goldenPath — run once with GRAFT_REGOLD=1 to create it")
-    val want = java.nio.file.Files.readString(goldenPath).linesIterator.toSeq
+    assert(java.nio.file.Files.exists(path),
+      s"missing $path — run once with GRAFT_REGOLD=1 to create it")
+    val want = java.nio.file.Files.readString(path).linesIterator.toSeq
     assert(got.length == want.length,
       s"row count drifted: got ${got.length}, golden ${want.length}")
     val diffs = got.zip(want).zipWithIndex.collect {
@@ -60,5 +59,23 @@ class GoldenSpec extends AnyFunSuite {
     }
     assert(diffs.isEmpty,
       s"${diffs.length} drifted lines (first 5):\n${diffs.take(5).mkString("\n")}")
+  }
+
+  test("sf-tiny pipeline output matches the committed golden file") {
+    checkGolden(goldenPath, currentLines())
+  }
+
+  /** The restore-cache sweep is rows-only at the driver (LRU/Belady/
+    * assembly aren't SQL), so this pin is its cross-round regression
+    * net: any drift in the chunker, the pack parameterization, or a
+    * cache policy shows up as a line diff. */
+  test("restore-cache policy sweep matches the committed golden file") {
+    val got = graft.ops.RestoreSim.restoreCacheQuery(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)} ${r.getInt(2)} " +
+        s"${r.getLong(3)} ${r.getLong(4)} ${r.getLong(5)}")
+      .sorted.toSeq
+    checkGolden(
+      java.nio.file.Paths.get("src/test/resources/golden-restorecache.txt"), got)
   }
 }
