@@ -64,6 +64,8 @@ object SparkEntry {
     "q_greedy_topk" -> ((s, d) => graft.ops.GreedySelect.greedyTopKDocs(s, d)),
     "q_trace_replay" -> ((s, d) => graft.sources.TraceSource.traceReplay(s, d)),
     "q_fsl_trace" -> ((s, d) => graft.sources.FslSource.fslReplay(s, d)),
+    "q_trace_backup" -> ((s, d) => graft.sources.TraceSource.traceBackup(s, d)),
+    "q_fsl_backup" -> ((s, d) => graft.sources.FslSource.fslBackup(s, d)),
     // --- byte-level CDC chunker family (P2-P6) over the documents table ---
     "q_chunk_fastcdc" -> ((s, d) => graft.ops.ChunkOps.chunkDocs(s, d, "fastcdc")),
     "q_chunk_cover" -> ((s, d) => graft.ops.ChunkOps.chunkCover(s, d)),
@@ -178,6 +180,44 @@ object SparkEntry {
         |  CAST(sum(sz) AS BIGINT) AS total_bytes,
         |  min(fp) AS min_fp, max(fp) AS max_fp
         |FROM ch GROUP BY 1""".stripMargin,
+    // Trace-driven backup (destor's simulation-mode benchmark workflow):
+    // global first-occurrence in trace order == first occurrence of each
+    // text by (source, doc_id) — sha1 is collision-free on the corpus.
+    "q_trace_backup" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY source, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS stored_bytes,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stored
+        |FROM t GROUP BY 1""".stripMargin,
+    // Trace-driven backup over the FSL grammar at slice grain: the
+    // corpus has real duplicate slices, so the global-index dedup
+    // decision is exercised end-to-end through the binary format.
+    "q_fsl_backup" ->
+      """WITH ch0 AS (
+        |  SELECT source, doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(length(text)/200.0) AS BIGINT) - 1)) AS i
+        |  FROM documents WHERE n_chars > 0),
+        |ch AS (
+        |  SELECT source, doc_id, i,
+        |    md5(substring(text, CAST(i*200 + 1 AS INTEGER), 200)) AS fp,
+        |    strlen(substring(text, CAST(i*200 + 1 AS INTEGER), 200)) AS sz
+        |  FROM ch0),
+        |t AS (
+        |  SELECT source, sz,
+        |    row_number() OVER (PARTITION BY fp ORDER BY source, doc_id, i) AS rn
+        |  FROM ch)
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(sum(sz) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN rn = 1 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS stored_bytes,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stored
+        |FROM t GROUP BY 1""".stripMargin,
     // W2 segment reconstruction: identical token-stream construction +
     // running-count reconstruction on both engines.
     "q_segment_recon" ->

@@ -307,7 +307,19 @@ object FslSource {
     * writer+parser round trip as `q_trace_replay`, over the binary
     * grammar. Hash-oracled: DuckDB rebuilds the identical chunk set
     * from `documents` alone. */
-  def fslReplay(spark: SparkSession, dir: String): DataFrame = {
+  def fslReplay(spark: SparkSession, dir: String): DataFrame =
+    replayDf(spark, dir)
+      .groupBy(col("trace_name").as("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct("file_path").as("n_files"),
+        countDistinct("fp").as("n_unique"),
+        sum("size").as("total_bytes"),
+        min("fp").as("min_fp"),
+        max("fp").as("max_fp"))
+
+  /** Write the corpus's v7 hashfiles and parse them back: the shared
+    * round-trip front half of [[fslReplay]] and [[fslBackup]]. */
+  private[graft] def replayDf(spark: SparkSession, dir: String): DataFrame = {
     val tmp = new File(sys.props("java.io.tmpdir"),
       "graft-fsl-" + Integer.toHexString(dir.hashCode))
     // expected stream list from the documents table directly — one row
@@ -320,13 +332,27 @@ object FslSource {
       makeFslTrace(docChunks(spark, dir), tmp.getPath)
     }
     read(spark, tmp.getPath + "/*.hf")
+  }
+
+  /** Trace-driven backup over the FSL grammar (the reference's
+    * simulation-mode benchmark against public fslhomes traces —
+    * src/fsl/read_fsl_trace.c feeding the same dedup pipeline as real
+    * reads): the fingerprint stream alone drives a GLOBAL
+    * first-occurrence dedup in trace order (one shared index, one
+    * row_number window over fp — the single data-scale shuffle a real
+    * backup pays for its index probe) and reports destor's per-stream
+    * backup counters. Slice-grain fps give the corpus real duplicate
+    * chunks, so the dedup decision is exercised, not just carried. */
+  def fslBackup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      .orderBy(col("trace_name"), col("file_seq"), col("chunk_idx"))
+    replayDf(spark, dir)
+      .withColumn("is_first", row_number().over(ord) === 1)
       .groupBy(col("trace_name").as("source"))
       .agg(count(lit(1)).as("n_chunks"),
-        countDistinct("file_path").as("n_files"),
-        countDistinct("fp").as("n_unique"),
         sum("size").as("total_bytes"),
-        min("fp").as("min_fp"),
-        max("fp").as("max_fp"))
+        sum(when(col("is_first"), col("size")).otherwise(0L)).as("stored_bytes"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_stored"))
   }
 
   /** Distributed v7 hashfile writer: one stream per source, each stream

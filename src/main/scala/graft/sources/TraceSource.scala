@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Destor text-trace replay source + writer (S2, reference
@@ -105,7 +106,16 @@ object TraceSource {
     * stats are hash-oracle-able in DuckDB directly from `documents`
     * (distinct fp == distinct text — SHA-1 is collision-free here), so
     * this checks the writer AND parser end-to-end. */
-  def traceReplay(spark: SparkSession, dir: String): DataFrame = {
+  def traceReplay(spark: SparkSession, dir: String): DataFrame =
+    replayDf(spark, dir)
+      .groupBy(col("trace_name").as("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct("fp").as("n_unique"),
+        sum("size").as("total_bytes"))
+
+  /** Write the corpus's trace streams and parse them back: the shared
+    * round-trip front half of [[traceReplay]] and [[traceBackup]]. */
+  private[graft] def replayDf(spark: SparkSession, dir: String): DataFrame = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
       "graft-trace-" + Integer.toHexString(dir.hashCode))
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -119,9 +129,27 @@ object TraceSource {
       makeTrace(docs, tmp.getPath)
     }
     read(spark, tmp.getPath + "/*.trace")
+  }
+
+  /** destor's primary benchmark workflow — a BACKUP JOB DRIVEN FROM A
+    * TRACE (simulation mode: `destor <trace> -p"simulation-level all"`,
+    * reference src/trace_phase.c:146-207 feeding the same dedup
+    * pipeline as real reads, src/do_backup.c): no data moves, the
+    * fingerprint stream alone drives the exact-dedup decision, and the
+    * job reports destor's backup counters per stream. First-occurrence
+    * is GLOBAL across the job in trace order (one shared index, as in
+    * the reference), which is one row_number window over fp — the same
+    * single data-scale shuffle a real backup pays for its index probe.
+    * Oracled: fps are sha1(text), so DuckDB reproduces the counters
+    * from `documents` alone. */
+  def traceBackup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("fp").orderBy(col("trace_name"), col("seq"))
+    replayDf(spark, dir)
+      .withColumn("is_first", row_number().over(ord) === 1)
       .groupBy(col("trace_name").as("source"))
       .agg(count(lit(1)).as("n_chunks"),
-        countDistinct("fp").as("n_unique"),
-        sum("size").as("total_bytes"))
+        sum("size").as("total_bytes"),
+        sum(when(col("is_first"), col("size")).otherwise(0L)).as("stored_bytes"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_stored"))
   }
 }

@@ -150,5 +150,16 @@ class FslSourceSpec extends AnyFunSuite {
     assert(got === Set(
       ("srcA", 4L, 2L, srcAUnique.toLong, 650L),
       ("srcB", 5L, 2L, srcBUnique.toLong, 651L)))
+
+    // trace-driven backup over the same hashfiles: global (cross-
+    // stream) first-occurrence dedup — srcA stores a*200 once (its own
+    // second slice is already a dup), srcB's doc 3 is entirely dedup'd
+    // against srcA, and only its c-doc slices are stored
+    val backup = FslSource.fslBackup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(backup === Set(
+      ("srcA", 4L, 650L, 450L, 3L),
+      ("srcB", 5L, 651L, 201L, 2L)))
   }
 }

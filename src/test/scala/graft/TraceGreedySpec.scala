@@ -59,6 +59,27 @@ class TraceGreedySpec extends AnyFunSuite {
     assert(seqs === List("doc_3", "doc_4", "doc_5"))
   }
 
+  test("trace-driven backup: global first-occurrence dedup counters per stream") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox", "en", "srcA", 19L),
+      (2L, "jumped over", "en", "srcA", 11L),
+      (3L, "the quick brown fox", "en", "srcB", 19L), // dup of srcA's doc 1
+      (4L, "unique text here", "en", "srcB", 16L),
+      (5L, "jumped over", "en", "srcB", 11L)          // dup of srcA's doc 2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-trace-backup").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = TraceSource.traceBackup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // srcA stores both chunks (first occurrences); srcB stores only its
+    // unique doc — the shared index spans the whole job, as in destor
+    assert(got === Set(
+      ("srcA", 2L, 30L, 30L, 2L),
+      ("srcB", 3L, 46L, 16L, 1L)))
+  }
+
   /** Independent local greedy (destor similarity_detection.c:100-121):
     * pick max-shared (tie: min id), trim its features from the rest. */
   private def localGreedy(members: Map[Long, Set[Long]], k: Int): List[(Int, Long, Int)] = {
