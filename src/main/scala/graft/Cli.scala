@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   * delete  <storeDir> <runId>[,<runId>...]           expire batches (GC)
   * stats   <storeDir>                                store state (no job)
   * trace   <dataDir> <outDir> [--format text|fsl]    make_trace analog (S2/S3)
+  * simulate <traceGlob> [--format text|fsl]          backup driven from a trace
   * }}}
   *
   * Shared options: `--config <file>` then any number of
@@ -34,7 +35,8 @@ object Cli {
       |  restore <storeDir> <runId|all> <outDir>
       |  delete  <storeDir> <runId>[,<runId>...]
       |  stats   <storeDir>
-      |  trace   <dataDir> <outDir> [--format text|fsl]
+      |  trace    <dataDir> <outDir> [--format text|fsl]
+      |  simulate <traceGlob> [--format text|fsl]
       |options: --config <file>   -p "<key> <value>"   --local <cores>""".stripMargin
 
   /** A malformed command line — caught in [[run]]/[[main]] and turned
@@ -100,6 +102,14 @@ object Cli {
       catch { case e: BadArgs => return s"${e.getMessage}\n$usage" }
     try dispatch(args, cfg, spark)
     catch { case e: BadArgs => s"${e.getMessage}\n$usage" }
+  }
+
+  private def traceFormat(rest: Seq[String]): String = rest match {
+    case Seq() => "text"
+    case Seq("--format", f) if f == "text" || f == "fsl" => f
+    case Seq("--format", f) =>
+      throw new BadArgs(s"unknown trace format '$f' (text|fsl)")
+    case other => throw new BadArgs(s"unexpected args ${other.mkString(" ")}")
   }
 
   private def dispatch(args: Seq[String], cfg: DedupConfig,
@@ -173,14 +183,38 @@ object Cli {
         (s"store $storeDir: ${ids.length} batches, ${imgCounts.map(_._2).sum} images" +: per)
           .mkString("\n")
 
+      case Seq("simulate", glob, rest @ _*) =>
+        // destor's simulation backup: replay ON-DISK trace files (the
+        // output of `trace`, or real public FSL traces) through the
+        // global first-occurrence dedup and print the job counters —
+        // no data moves, one fp shuffle (src/trace_phase.c:146-207 +
+        // src/do_backup.c under simulation-level, recast)
+        val fmt = traceFormat(rest)
+        val refs =
+          if (fmt == "fsl")
+            graft.sources.FslSource.read(spark, glob)
+              .select(col("trace_name"),
+                (col("file_seq") * lit(1000000000L) + col("chunk_idx")).as("ord"),
+                col("fp"), col("size"))
+          else
+            graft.sources.TraceSource.read(spark, glob)
+              .select(col("trace_name"), col("seq").as("ord"), col("fp"), col("size"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy(col("trace_name"), col("ord"))
+        val r = refs.withColumn("is_first", row_number().over(w) === 1)
+          .agg(countDistinct("trace_name").as("streams"),
+            count(lit(1)).as("chunks"),
+            sum(when(col("is_first"), 1L).otherwise(0L)).as("stored"),
+            sum("size").as("bytes"),
+            sum(when(col("is_first"), col("size")).otherwise(0L)).as("stored_bytes"))
+          .head()
+        val (bytes, storedB) = (r.getLong(3), r.getLong(4))
+        val ratio = if (bytes == 0) "n/a" else f"${(bytes - storedB).toDouble / bytes}%.4f"
+        s"simulate ($fmt): ${r.getLong(0)} streams, ${r.getLong(1)} chunks " +
+          s"(${r.getLong(2)} stored), $bytes bytes ($storedB stored), dedup ratio $ratio"
+
       case Seq("trace", dataDir, outDir, rest @ _*) =>
-        val fmt = rest match {
-          case Seq() => "text"
-          case Seq("--format", f) if f == "text" || f == "fsl" => f
-          case Seq("--format", f) =>
-            throw new BadArgs(s"trace: unknown format '$f' (text|fsl)")
-          case other => throw new BadArgs(s"trace: unexpected args ${other.mkString(" ")}")
-        }
+        val fmt = traceFormat(rest)
         // destor consumes both its own text grammar and FSL binary
         // hashfiles as trace input (src/trace_phase.c, src/fsl/) — the
         // CLI writes either, one stream file per source

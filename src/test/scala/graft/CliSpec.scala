@@ -131,6 +131,14 @@ class CliSpec extends AnyFunSuite {
     val outT = Files.createTempDirectory("graft-cli-txt").toString
     assert(Cli.run(Seq("trace", dir, outT), spark).contains("text streams"))
     assert(Cli.run(Seq("trace", dir, outT, "--format", "nope"), spark)
-      .contains("unknown format"))
+      .contains("unknown trace format"))
+
+    // simulate replays the on-disk traces through the dedup counters:
+    // text grammar = whole-item chunks (no dup texts at sf-tiny), fsl
+    // grammar = slice grain with real duplicate slices
+    val simT = Cli.run(Seq("simulate", s"$outT/*.trace"), spark)
+    assert(simT.contains("simulate (text): 20 streams, 500 chunks (500 stored)"), simT)
+    val simF = Cli.run(Seq("simulate", s"$out/*.hf", "--format", "fsl"), spark)
+    assert(simF.contains("simulate (fsl): 20 streams, 1023 chunks (994 stored)"), simF)
   }
 }
