@@ -190,28 +190,28 @@ object Cli {
         // no data moves, one fp shuffle (src/trace_phase.c:146-207 +
         // src/do_backup.c under simulation-level, recast)
         val fmt = traceFormat(rest)
-        val refs =
-          if (fmt == "fsl")
-            graft.sources.FslSource.read(spark, glob)
-              .select(col("trace_name"),
-                (col("file_seq") * lit(1000000000L) + col("chunk_idx")).as("ord"),
-                col("fp"), col("size"))
-          else
-            graft.sources.TraceSource.read(spark, glob)
-              .select(col("trace_name"), col("seq").as("ord"), col("fp"), col("size"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("fp").orderBy(col("trace_name"), col("ord"))
-        val r = refs.withColumn("is_first", row_number().over(w) === 1)
-          .agg(countDistinct("trace_name").as("streams"),
-            count(lit(1)).as("chunks"),
-            sum(when(col("is_first"), 1L).otherwise(0L)).as("stored"),
-            sum("size").as("bytes"),
-            sum(when(col("is_first"), col("size")).otherwise(0L)).as("stored_bytes"))
-          .head()
-        val (bytes, storedB) = (r.getLong(3), r.getLong(4))
+        import graft.sources.TraceJobs
+        val r =
+          try {
+            val flagged =
+              if (fmt == "fsl")
+                TraceJobs.flagFirst(graft.sources.FslSource.read(spark, glob),
+                  col("trace_name"), col("file_seq"), col("chunk_idx"))
+              else
+                TraceJobs.flagFirst(graft.sources.TraceSource.read(spark, glob),
+                  col("trace_name"), col("seq"))
+            val cs = countDistinct("trace_name").as("streams") +: TraceJobs.backupCounters
+            flagged.agg(cs.head, cs.tail: _*).head()
+          } catch {
+            // a non-matching glob is a user error, not a stack trace
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new BadArgs(
+                s"simulate: cannot read '$glob': ${e.getMessage.takeWhile(_ != '\n')}")
+          }
+        val (bytes, storedB) = (r.getLong(2), r.getLong(3))
         val ratio = if (bytes == 0) "n/a" else f"${(bytes - storedB).toDouble / bytes}%.4f"
         s"simulate ($fmt): ${r.getLong(0)} streams, ${r.getLong(1)} chunks " +
-          s"(${r.getLong(2)} stored), $bytes bytes ($storedB stored), dedup ratio $ratio"
+          s"(${r.getLong(4)} stored), $bytes bytes ($storedB stored), dedup ratio $ratio"
 
       case Seq("trace", dataDir, outDir, rest @ _*) =>
         val fmt = traceFormat(rest)

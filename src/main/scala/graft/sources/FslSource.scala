@@ -344,15 +344,11 @@ object FslSource {
     * backup counters. Slice-grain fps give the corpus real duplicate
     * chunks, so the dedup decision is exercised, not just carried. */
   def fslBackup(spark: SparkSession, dir: String): DataFrame = {
-    val ord = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      .orderBy(col("trace_name"), col("file_seq"), col("chunk_idx"))
-    replayDf(spark, dir)
-      .withColumn("is_first", row_number().over(ord) === 1)
+    val cs = TraceJobs.backupCounters
+    TraceJobs.flagFirst(replayDf(spark, dir),
+        col("trace_name"), col("file_seq"), col("chunk_idx"))
       .groupBy(col("trace_name").as("source"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum("size").as("total_bytes"),
-        sum(when(col("is_first"), col("size")).otherwise(0L)).as("stored_bytes"),
-        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_stored"))
+      .agg(cs.head, cs.tail: _*)
   }
 
   /** Distributed v7 hashfile writer: one stream per source, each stream

@@ -143,13 +143,9 @@ object TraceSource {
     * Oracled: fps are sha1(text), so DuckDB reproduces the counters
     * from `documents` alone. */
   def traceBackup(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Window.partitionBy("fp").orderBy(col("trace_name"), col("seq"))
-    replayDf(spark, dir)
-      .withColumn("is_first", row_number().over(ord) === 1)
+    val cs = TraceJobs.backupCounters
+    TraceJobs.flagFirst(replayDf(spark, dir), col("trace_name"), col("seq"))
       .groupBy(col("trace_name").as("source"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum("size").as("total_bytes"),
-        sum(when(col("is_first"), col("size")).otherwise(0L)).as("stored_bytes"),
-        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_stored"))
+      .agg(cs.head, cs.tail: _*)
   }
 }

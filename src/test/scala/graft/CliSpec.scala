@@ -140,5 +140,17 @@ class CliSpec extends AnyFunSuite {
     assert(simT.contains("simulate (text): 20 streams, 500 chunks (500 stored)"), simT)
     val simF = Cli.run(Seq("simulate", s"$out/*.hf", "--format", "fsl"), spark)
     assert(simF.contains("simulate (fsl): 20 streams, 1023 chunks (994 stored)"), simF)
+
+    // a non-matching glob is a one-line error, not a stack trace
+    val bad = Cli.run(Seq("simulate", "/nonexistent/dir/*.hf", "--format", "fsl"), spark)
+    assert(bad.contains("cannot read"), bad)
+
+    // an empty trace set (header-only hashfile) reports zeros cleanly
+    val emptyDir = Files.createTempDirectory("graft-cli-empty").toString
+    graft.sources.FslSource.writeHashfile(
+      new java.io.File(emptyDir, "e.hf"), 7, graft.sources.FslSource.Variable,
+      0, 1, 128, Iterator.empty)
+    val simE = Cli.run(Seq("simulate", s"$emptyDir/*.hf", "--format", "fsl"), spark)
+    assert(simE.contains("0 streams, 0 chunks (0 stored), 0 bytes (0 stored), dedup ratio n/a"), simE)
   }
 }
