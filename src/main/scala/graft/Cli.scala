@@ -207,6 +207,18 @@ object Cli {
             case e: org.apache.spark.sql.AnalysisException =>
               throw new BadArgs(
                 s"simulate: cannot read '$glob': ${e.getMessage.takeWhile(_ != '\n')}")
+            // a malformed trace file that the glob DOES match fails
+            // inside the job; the parsers reject it with a descriptive
+            // IllegalArgumentException — surface that line, not the
+            // SparkException stack
+            case e: org.apache.spark.SparkException =>
+              Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+                .collectFirst { case i: IllegalArgumentException => i } match {
+                case Some(i) => throw new BadArgs(
+                  s"simulate: bad trace under '$glob': " +
+                    i.getMessage.takeWhile(_ != '\n'))
+                case None => throw e
+              }
           }
         val (bytes, storedB) = (r.getLong(2), r.getLong(3))
         val ratio = if (bytes == 0) "n/a" else f"${(bytes - storedB).toDouble / bytes}%.4f"

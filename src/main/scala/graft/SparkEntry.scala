@@ -183,11 +183,30 @@ object SparkEntry {
     // Trace-driven backup (destor's simulation-mode benchmark workflow):
     // global first-occurrence in trace order == first occurrence of each
     // text by (source, doc_id) — sha1 is collision-free on the corpus.
+    // The trace corpus carries PLANTED cross-stream duplicates (every
+    // doc_id % 7 == 0 replayed into the alphabetically-next source,
+    // ordered after natives via the 2^40 doc_id offset) so the dedup
+    // branch of the counters is live; the oracle derives the identical
+    // planted set from `documents`.
     "q_trace_backup" ->
-      """WITH t AS (
-        |  SELECT source, doc_id, n_chars,
+      """WITH srcs AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) AS i,
+        |    count(*) OVER () AS n
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |plant AS (
+        |  SELECT s2.source, d.doc_id + 1099511627776 AS doc_id,
+        |    d.text, d.n_chars
+        |  FROM documents d
+        |  JOIN srcs s1 ON d.source = s1.source
+        |  JOIN srcs s2 ON s2.i = (s1.i % s1.n) + 1
+        |  WHERE d.doc_id % 7 = 0),
+        |u AS (
+        |  SELECT source, doc_id, text, n_chars FROM documents
+        |  UNION ALL SELECT source, doc_id, text, n_chars FROM plant),
+        |t AS (
+        |  SELECT source, n_chars,
         |    row_number() OVER (PARTITION BY text ORDER BY source, doc_id) AS rn
-        |  FROM documents)
+        |  FROM u)
         |SELECT source, count(*) AS n_chunks,
         |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
         |  CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)

@@ -66,7 +66,17 @@ object FslSource {
   private val HeaderV5p = 8296
 
   /** Parse every hashfile matching `path` (glob ok) into one row per
-    * chunk. `trace_name` is the file's basename without ".hf". */
+    * chunk. `trace_name` is the file's basename without ".hf".
+    *
+    * Size limit: the `binaryFile` source materializes each trace as one
+    * `Array[Byte]`, so a single hashfile is capped at 2 GB (JVM array
+    * limit — Spark enforces it at scan time with a clear error). Real
+    * public FSL traces can exceed this; at ~25 B/chunk that cap is
+    * ~80M chunks PER TRACE FILE, and the published fslhomes snapshots
+    * ship as many per-user/per-day files well under it. An oversized
+    * trace needs a streaming RandomAccessFile parse path behind the
+    * same row schema — deliberately not built here (no such fixture
+    * can exist in this sandbox); the cap fails loudly, not wrongly. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
@@ -79,7 +89,11 @@ object FslSource {
       .toDF()
   }
 
-  /** Header-only probe (hashfile_open's version/method dispatch). */
+  /** Header-only probe (hashfile_open's version/method dispatch).
+    * On-disk fields are UNTRUSTED (the CLI accepts arbitrary public
+    * trace files): every count/length is bound-checked here or in
+    * [[parse]] so a corrupt file fails with a descriptive require, not
+    * a BufferUnderflow/NegativeArraySize deep inside a Spark task. */
   def parseMeta(bytes: Array[Byte]): HashfileMeta = {
     require(bytes.length >= HeaderV12, s"hashfile too short: ${bytes.length} B")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -90,22 +104,54 @@ object FslSource {
     val chnkMethod = b.getInt(4120)
     require(chnkMethod == Fixed || chnkMethod == Variable,
       s"unknown chunking method $chnkMethod")
-    HashfileMeta(version, b.getLong(8), b.getLong(4112), chnkMethod,
-      b.getInt(4124) & 0xffffffffL, b.getInt(4168), b.getInt(4172))
+    val files = b.getLong(8)
+    val chunks = b.getLong(4112)
+    require(files >= 0 && chunks >= 0,
+      s"negative header counts: files=$files chunks=$chunks")
+    val hashBits = b.getInt(4172)
+    require(hashBits > 0 && hashBits % 8 == 0 && hashBits <= 4096,
+      s"hash_size $hashBits bits is not a positive multiple of 8 (<= 4096)")
+    // every chunk record is at least hash_size/8 bytes, so the header's
+    // chunk count is bounded by the file's actual size
+    require(chunks <= bytes.length.toLong / (hashBits / 8).max(1) + 1,
+      s"header claims $chunks chunks but the file is only ${bytes.length} B")
+    val m = HashfileMeta(version, files, chunks, chnkMethod,
+      b.getInt(4124) & 0xffffffffL, b.getInt(4168), hashBits)
+    require(chnkMethod != Fixed || m.fixedChunkSize > 0,
+      s"fixed chunking with chunk size ${m.fixedChunkSize}")
+    m
   }
 
   /** One trace's stateful parse — read_fsl_trace.c's replay loop minus
-    * the SyncQueue: every file header, then its `chunks` records. */
-  private[graft] def parse(trace: String, bytes: Array[Byte]): Iterator[FslChunk] = {
+    * the SyncQueue: every file header, then its `chunks` records.
+    * Corrupt/adversarial records fail with a require naming `trace`. */
+  private[graft] def parse(trace: String, bytes: Array[Byte]): Iterator[FslChunk] =
+    try parseChecked(trace, bytes)
+    catch {
+      case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"hashfile '$trace': ${e.getMessage}", e)
+    }
+
+  private def parseChecked(trace: String, bytes: Array[Byte]): Iterator[FslChunk] = {
     val m = parseMeta(bytes)
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val hashBytes = m.hashBits / 8
+    // untrusted-extent guard: a read past the buffer is a corrupt file
+    def need(n: Long, what: String): Unit =
+      require(n >= 0 && n <= b.remaining(),
+        s"truncated/corrupt record: $what needs $n B, ${b.remaining()} left")
     b.position(m.version match {
       case 1 | 2 => HeaderV12
       case 3 | 4 => HeaderV34
       case _     => HeaderV5p
     })
 
+    // exact per-record byte count (size field + hash + cratio) so one
+    // extent check per file covers the whole record block
+    val recBytes: Long =
+      (if (m.chnkMethod == Variable && m.version >= 7) 4
+       else if (m.chnkMethod == Variable && m.version >= 3) 8
+       else 0) + hashBytes + (if (m.version >= 6) 1 else 0)
     val out = Iterator.newBuilder[FslChunk]
     var fileSeq = 0L
     while (fileSeq < m.files) {
@@ -115,16 +161,22 @@ object FslSource {
       var nChunks = 0L
       m.version match {
         case 1 =>
+          need(4096 + 16, s"v1 file header (file $fileSeq)")
           val raw = new Array[Byte](4096); b.get(raw)
           val nul = raw.indexOf(0.toByte)
           path = new String(raw, 0, if (nul < 0) raw.length else nul, "UTF-8")
           fileSize = b.getLong(); nChunks = b.getLong()
         case 2 | 3 =>
+          need(20, s"v${m.version} file header (file $fileSeq)")
           fileSize = b.getLong(); nChunks = b.getLong()
           val pathLen = b.getInt()
+          require(pathLen >= 0 && pathLen <= 4096,
+            s"path length $pathLen out of [0, 4096] (file $fileSeq)")
+          need(pathLen, s"path (file $fileSeq)")
           val raw = new Array[Byte](pathLen); b.get(raw)
           path = new String(raw, "UTF-8")
         case v =>
+          need((if (v >= 5) 96 else 88) + 8, s"v$v file header (file $fileSeq)")
           fileSize = b.getLong()
           if (v >= 5) b.getLong() // blocks
           b.getInt(); b.getInt()  // uid, gid
@@ -132,10 +184,18 @@ object FslSource {
           b.getLong()             // inodenum
           nChunks = b.getLong()
           val pathLen = b.getInt(); val targetLen = b.getInt()
+          require(pathLen >= 0 && pathLen <= 4096,
+            s"path length $pathLen out of [0, 4096] (file $fileSeq)")
+          require(targetLen >= 0 && targetLen <= 4096,
+            s"target path length $targetLen out of [0, 4096] (file $fileSeq)")
+          need(pathLen.toLong + targetLen, s"paths (file $fileSeq)")
           val raw = new Array[Byte](pathLen); b.get(raw)
           path = new String(raw, "UTF-8")
           b.position(b.position() + targetLen)
       }
+      require(nChunks >= 0 && nChunks <= b.remaining() / recBytes.max(1L) + 1,
+        s"chunk count $nChunks out of range (file $fileSeq)")
+      need(nChunks * recBytes, s"$nChunks chunk records (file $fileSeq)")
       // --- chunk records (libhashfile.c:863-945's size/hash/cratio order) ---
       var i = 0L
       while (i < nChunks) {
@@ -250,8 +310,15 @@ object FslSource {
           require(c.fp.length == hashBits / 8,
             s"fp ${c.fp.length}B != hash_size ${hashBits / 8}B")
           if (chnkMethod == Variable) {
-            if (version >= 7) putIntLE(d, c.size.toInt)
-            else if (version >= 3) putLongLE(d, c.size)
+            if (version >= 7) {
+              // the v7 record stores sizes as u32 — an oversized chunk
+              // must fail at write time, not silently truncate into a
+              // structurally-valid file whose sizes disagree with the
+              // header byte count
+              require(c.size >= 0 && c.size <= 0xffffffffL,
+                s"chunk size ${c.size} does not fit the v7 u32 size field")
+              putIntLE(d, c.size.toInt)
+            } else if (version >= 3) putLongLE(d, c.size)
             nBytes += c.size
           }
           d.write(c.fp)
@@ -320,8 +387,7 @@ object FslSource {
   /** Write the corpus's v7 hashfiles and parse them back: the shared
     * round-trip front half of [[fslReplay]] and [[fslBackup]]. */
   private[graft] def replayDf(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = new File(sys.props("java.io.tmpdir"),
-      "graft-fsl-" + Integer.toHexString(dir.hashCode))
+    val tmp = StreamFiles.scratchDir("graft-fsl", dir)
     // expected stream list from the documents table directly — one row
     // per doc, NOT via the exploded chunk plan (pruning removes the md5
     // but not the row-multiplying explode)

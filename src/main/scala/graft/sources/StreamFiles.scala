@@ -14,6 +14,30 @@ private[sources] object StreamFiles {
     f.delete(); ()
   }
 
+  /** Per-(corpus, process) scratch dir under java.io.tmpdir. The key is
+    * a SHA-1 of the corpus path (collision-resistant — a 32-bit
+    * hashCode let two different corpus dirs share one scratch dir) plus
+    * the pid, so two concurrent JVMs over the SAME corpus never race
+    * each other's rm/rewrite against in-flight reads. Registered for
+    * deletion at JVM exit. */
+  def scratchDir(prefix: String, corpusDir: String): File = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(corpusDir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val d = new File(sys.props("java.io.tmpdir"),
+      s"$prefix-$sha-p${ProcessHandle.current().pid()}")
+    cleanupOnExit(d)
+    d
+  }
+
+  private val registered = scala.collection.mutable.Set.empty[String]
+  private def cleanupOnExit(d: File): Unit = registered.synchronized {
+    if (registered.add(d.getPath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(d)))
+      ()
+    }
+  }
+
   /** Stale streams from a previous invocation are removed even when
     * nothing will be rewritten — an empty input must fail loudly here,
     * never silently replay the previous corpus's files. */

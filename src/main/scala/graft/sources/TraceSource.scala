@@ -113,20 +113,48 @@ object TraceSource {
         countDistinct("fp").as("n_unique"),
         sum("size").as("total_bytes"))
 
+  /** Planted cross-stream duplicates for [[traceBackup]]: every doc
+    * with `doc_id % PlantModulus == 0` is replayed a SECOND time into
+    * the alphabetically-next source's stream (cyclically), ordered
+    * after that stream's native docs via the doc_id offset — the
+    * whole-item analog of a file copied between backup streams. Without
+    * this the text-grammar corpus is dup-degenerate (whole-item sha1
+    * fps almost never repeat across streams), and a backup query whose
+    * dedup branch cannot fire is a weak oracle. Both the engine and the
+    * DuckDB oracle derive the SAME planted set from `documents`. */
+  private[graft] val PlantModulus = 7L
+  private[graft] val PlantOffset = 1L << 40
+
+  private def plantCrossStreamDups(docs: DataFrame, sources: Seq[String]): DataFrame = {
+    val nextOf = map(sources.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(sources((i + 1) % sources.length)))
+    }: _*)
+    val planted = docs.filter(col("doc_id") % PlantModulus === 0)
+      .withColumn("source", element_at(nextOf, col("source")))
+      .withColumn("doc_id", col("doc_id") + lit(PlantOffset))
+    docs.unionByName(planted)
+  }
+
   /** Write the corpus's trace streams and parse them back: the shared
-    * round-trip front half of [[traceReplay]] and [[traceBackup]]. */
-  private[graft] def replayDf(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-trace-" + Integer.toHexString(dir.hashCode))
+    * round-trip front half of [[traceReplay]] and [[traceBackup]].
+    * `plantDups` adds the cross-stream duplicate items (backup query
+    * only — the replay round trip stays a faithful corpus image). */
+  private[graft] def replayDf(spark: SparkSession, dir: String,
+      plantDups: Boolean = false): DataFrame = {
+    val tmp = StreamFiles.scratchDir(
+      if (plantDups) "graft-trace-planted" else "graft-trace", dir)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    // expected stream files, known up front (one per source); the
-    // write-check-retry scaffold (StreamFiles) guards the plan-time
-    // glob below against a silently-incomplete write (observed once as
-    // a transient empty-glob FileNotFound in a LATER job)
-    val expected = docs.select("source").distinct()
-      .collect().map(r => r.getString(0) + ".trace").sorted
-    StreamFiles.writeChecked(tmp, expected.toSeq, "traceReplay") {
-      makeTrace(docs, tmp.getPath)
+    // expected stream files, known up front (one per source; planting
+    // permutes sources but never adds one); the write-check-retry
+    // scaffold (StreamFiles) guards the plan-time glob below against a
+    // silently-incomplete write (observed once as a transient
+    // empty-glob FileNotFound in a LATER job)
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val expected = sources.map(_ + ".trace")
+    val replayed = if (plantDups) plantCrossStreamDups(docs, sources) else docs
+    StreamFiles.writeChecked(tmp, expected, "traceReplay") {
+      makeTrace(replayed, tmp.getPath)
     }
     read(spark, tmp.getPath + "/*.trace")
   }
@@ -140,11 +168,15 @@ object TraceSource {
     * is GLOBAL across the job in trace order (one shared index, as in
     * the reference), which is one row_number window over fp — the same
     * single data-scale shuffle a real backup pays for its index probe.
-    * Oracled: fps are sha1(text), so DuckDB reproduces the counters
-    * from `documents` alone. */
+    * The trace corpus carries PLANTED cross-stream duplicate items
+    * (see [[plantCrossStreamDups]]) so the dedup branch is live in the
+    * hash-matched counters, not just proven by spec. Oracled: fps are
+    * sha1(text) and the planted set is a deterministic function of
+    * `documents`, so DuckDB reproduces the counters exactly. */
   def traceBackup(spark: SparkSession, dir: String): DataFrame = {
     val cs = TraceJobs.backupCounters
-    TraceJobs.flagFirst(replayDf(spark, dir), col("trace_name"), col("seq"))
+    TraceJobs.flagFirst(replayDf(spark, dir, plantDups = true),
+        col("trace_name"), col("seq"))
       .groupBy(col("trace_name").as("source"))
       .agg(cs.head, cs.tail: _*)
   }
