@@ -84,6 +84,10 @@ object SparkEntry {
     // a constant verdict row, so the driver hash-checks the property
     "q_simhash_gate" -> ((s, d) => TextOps.simhashGate(s, d)),
     "q_ann_gate" -> ((s, d) => EmbedOps.annGate(s, d)),
+    // bench-scale twin of q_ann_gate: exact ground truth only for a
+    // hash-sample of queries (bounded oracle cost at ANY corpus size),
+    // raised 0.85 floor — also run at sf0.1, see BENCH/BASELINE.md
+    "q_ann_scale_gate" -> ((s, d) => EmbedOps.annScaleGate(s, d)),
     "q_ivf_gate" -> ((s, d) => EmbedOps.ivfGate(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardDedup(s, d)),
     "q_ngram_exact" -> ((s, d) => TextOps.ngramJaccardExact(s, d)),
@@ -116,6 +120,11 @@ object SparkEntry {
     "q_img_signatures" -> ((s, d) =>
       DedupPipeline.signatures(CorpusGen.generate(s, groupsFor(d)), cfg)
         .select(col("image_id"), col("sha"), col("simhash"), col("phash"), col("shingle_count"))),
+    // video path end-to-end (frame sampling + decode + features): the
+    // synthetic per-doc videos have closed-form luma/phash, so the
+    // whole chain is DuckDB hash-oracled — see mediaFeatures scaladoc
+    "q_media_features" -> ((s, d) =>
+      graft.multimodal.BinaryPipeline.mediaFeatures(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -539,6 +548,9 @@ object SparkEntry {
     "q_ann_gate" ->
       """SELECT CAST(1 AS INTEGER) AS pairs_found,
         | CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+    "q_ann_scale_gate" ->
+      """SELECT CAST(1 AS INTEGER) AS pairs_found,
+        | CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
     "q_ivf_gate" ->
       """SELECT CAST(1 AS INTEGER) AS pairs_found,
         | CAST(1 AS INTEGER) AS exact_match""".stripMargin,
@@ -589,6 +601,45 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS missing_chunks,
         | CAST(0 AS BIGINT) AS byte_mismatches,
         | CAST(1 AS BIGINT) AS all_restored""".stripMargin,
+    // Video features: mirrors mediaFeatures' closed forms — sampled
+    // frame indices (stride 2 of 1 + doc_id % 5 frames), per-frame mean
+    // luma c + 7.5*(sy+sx), and the 8x8 average-hash bit grid
+    // sy*(2*by-7) + sx*(2*bx-7) > 0 packed into a BIGINT (bit 63 never
+    // set by construction: sy + sx < 0).
+    "q_media_features" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(doc_id % 5 AS BIGINT), 2)) AS i
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i,
+        |    105 + (doc_id * 37 + i * 11) % 32 AS c,
+        |    CASE (doc_id + i) % 8
+        |      WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN -1
+        |      WHEN 4 THEN -1 WHEN 5 THEN -3 WHEN 6 THEN -3 ELSE 3 END AS sy,
+        |    CASE (doc_id + i) % 8
+        |      WHEN 0 THEN -2 WHEN 1 THEN -4 WHEN 2 THEN -4 WHEN 3 THEN -2
+        |      WHEN 4 THEN -4 WHEN 5 THEN -2 WHEN 6 THEN -4 ELSE -6 END AS sx
+        |  FROM f),
+        |cells AS (
+        |  SELECT p.doc_id, p.i, by.v AS by, bx.v AS bx,
+        |    p.sy * (2 * by.v - 7) + p.sx * (2 * bx.v - 7) AS diff
+        |  FROM p,
+        |    (SELECT unnest(generate_series(0, 7)) AS v) by,
+        |    (SELECT unnest(generate_series(0, 7)) AS v) bx),
+        |ph AS (
+        |  SELECT doc_id, i,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(by * 8 + bx AS INTEGER))
+        |      AS BIGINT) AS phash
+        |  FROM cells WHERE diff > 0 GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT p.doc_id, p.c + 7.5 * (p.sy + p.sx) AS luma, ph.phash
+        |  FROM p JOIN ph ON p.doc_id = ph.doc_id AND p.i = ph.i)
+        |SELECT 'vid_' || CAST(doc_id AS VARCHAR) AS image_id,
+        |  count(*) AS n_frames,
+        |  round(avg(luma), 3) AS mean_luma,
+        |  min(phash) AS min_phash, max(phash) AS max_phash
+        |FROM fr GROUP BY 1""".stripMargin,
     "q_chunk_cover" ->
       """SELECT d.doc_id, a.algo,
         |  CAST(octet_length(encode(d.text)) AS BIGINT) AS total_len,

@@ -131,6 +131,71 @@ object BinaryPipeline {
       .toDF("image_id", "bytes", "w", "h", "fmt")
   }
 
+  /** Driver query (`q_media_features`): the video path end-to-end —
+    * synthesize one deterministic multi-frame "video" per document
+    * (concatenated 16x16 ppm frames whose pixel grid is a closed-form
+    * gradient of (doc_id, frame_idx)), run the REAL operators
+    * ([[sampleFrames]] at stride 2, then [[extractFeatures]]), and
+    * aggregate per item: sampled-frame count, mean luminance, min/max
+    * perceptual hash. Because every frame is the gradient
+    * v(x,y) = c + sy*y + sx*x on all three channels, the frame's mean
+    * luma (c + 7.5*(sy+sx)) and its average-hash bits
+    * (sy*(2*by-7) + sx*(2*bx-7) > 0 per 8x8 cell) have exact
+    * closed forms DuckDB recomputes independently — so the whole
+    * decode → luma → phash chain is hash-oracled, not just rows-only.
+    * The (sy, sx) table keeps sy odd and sx even (every cell's
+    * above-mean margin is then >= 1 luma unit — no FP-tie bit flips)
+    * and sy+sx < 0 (bit 63 never set — the packed hash fits a signed
+    * BIGINT on both engines). Every stage is narrow except the final
+    * per-item groupBy. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = 16; val h = 16
+    val videos = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long]
+      .map { id =>
+        val n = 1 + (id % 5).toInt
+        val frames = (0 until n).map { i =>
+          // base 105 keeps v in [0, 181] for every combo below (worst
+          // negative reach is sy*15 + sx*15 = -105 at (-3, -4))
+          val c = (105 + (id * 37 + i * 11) % 32).toInt
+          val (sy, sx) = GradientCombos(((id + i) % 8).toInt)
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (c + sy * y + sx * x).toByte
+              val p = (y * w + x) * 3
+              rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          Codec.encodePpm(w, h, rgb)
+        }
+        val blob = new Array[Byte](frames.iterator.map(_.length).sum)
+        var off = 0
+        frames.foreach { f =>
+          System.arraycopy(f, 0, blob, off, f.length); off += f.length
+        }
+        ("vid_" + id, blob)
+      }
+      .toDF("image_id", "bytes")
+    val feats = extractFeatures(sampleFrames(videos, w, h, stride = 2)).toDF()
+    feats.groupBy(col("media_id").as("image_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        round(avg(lit(0.299) * col("mean_r") + lit(0.587) * col("mean_g")
+          + lit(0.114) * col("mean_b")), 3).as("mean_luma"),
+        min(col("phash")).as("min_phash"),
+        max(col("phash")).as("max_phash"))
+  }
+
+  /** (sy, sx) gradient slopes for [[mediaFeatures]]: sy odd, sx even,
+    * sy + sx < 0 — see the scaladoc above for why. */
+  private[graft] val GradientCombos: Array[(Int, Int)] =
+    Array((1, -2), (1, -4), (3, -4), (-1, -2), (-1, -4), (-3, -2), (-3, -4), (3, -6))
+
   /** Frame sampling for "video" = concatenated fixed-size ppm frames
     * in one binary blob: emit every `stride`-th frame as its own row.
     * A narrow flatMap — the per-row fan-out pattern for multi-frame

@@ -383,6 +383,65 @@ object EmbedOps {
       .toDF("pairs_found", "recall_ok")
   }
 
+  /** Bench-scale ANN recall gate: recall@k of the LSH ANN against
+    * EXACT ground truth for a deterministic hash-sample of query
+    * vectors. [[annGate]]'s oracle is the full O(n^2) brute-force
+    * top-k, which stops being runnable long before the corpus does;
+    * here the exact side costs |sample| * n distances — the sampled
+    * queries broadcast against ONE corpus scan, so the oracle cost is
+    * bounded by the sample COUNT (pick `sampleMod` so n/sampleMod stays
+    * a few hundred: 10 at sf-scale, ~10^6 per 10^9 vectors — the
+    * 1-in-1000-queries discipline of large-scale ANN evaluation). The
+    * ANN side runs the FULL corpus query unchanged; recall is micro
+    * recall@k over the sampled queries, emitted as the constant-shaped
+    * verdict row. Floor 0.85 (vs annGate's 0.75): at/above the
+    * measured 0.87-0.91 band minus honest margin on a near-random
+    * corpus, raised per the round-4 review. */
+  def annScaleGate(spark: SparkSession, dir: String, k: Int = 5,
+      sampleMod: Int = 10, recallMin: Double = 0.85): DataFrame = {
+    import spark.implicits._
+    val (total, hits) = sampledRecallCounts(spark, dir, k, sampleMod)
+    Seq((
+      if (total > 0) 1 else 0,
+      if (total > 0 && hits >= recallMin * total) 1 else 0))
+      .toDF("pairs_found", "recall_ok")
+  }
+
+  /** Measured micro recall@k of [[annTopK]] vs the sampled exact
+    * ground truth (the number [[annScaleGate]] thresholds) — for bench
+    * reporting. */
+  def annScaleRecall(spark: SparkSession, dir: String, k: Int = 5,
+      sampleMod: Int = 10): Double = {
+    val (total, hits) = sampledRecallCounts(spark, dir, k, sampleMod)
+    if (total == 0) 0.0 else hits.toDouble / total
+  }
+
+  /** (exact ground-truth pairs, ANN hits) over the hash-sampled query
+    * set — the shared body of the scale gate and its reporter. */
+  private def sampledRecallCounts(spark: SparkSession, dir: String,
+      k: Int, sampleMod: Int): (Long, Long) = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // exact top-k for the sampled queries only: one distributed pass
+    // over the corpus per the broadcast sample, same rounded-cosine +
+    // neighbor-id tie-break as cosineTopK so ranks are engine-stable
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("cos", round(cosine("qv", "vb"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("vec_id"), col("neighbor_id"))
+    val ann = annTopK(spark, dir, k).select("vec_id", "neighbor_id")
+      .join(q.select(col("qid").as("vec_id")), Seq("vec_id"), "left_semi")
+    val total = exact.count()
+    val hits = exact.join(ann, Seq("vec_id", "neighbor_id"), "left_semi").count()
+    (total, hits)
+  }
+
   /** Driver-visible IVF exactness gate: with nprobe == nC the probe
     * covers every cell, so [[ivfTopK]] must reproduce [[cosineTopK]]
     * RANK-FOR-RANK (IvfSpec proves it; this row makes the property a
