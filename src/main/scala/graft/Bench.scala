@@ -144,16 +144,26 @@ object Bench {
     * headline:substr_dups — the winnowing selection moved from three
     * window functions to a narrow mapPartitions pass (same selection,
     * ~9x faster), so its r3-1600k-p1 samples measure the old plan.
+    * headline:substr_sa — round 5 folded the driver size-gate pre-scan
+    * job into the main plan (same pair semantics, one job fewer), so
+    * its r4 samples measure the two-job version.
+    * headline:chunk_2gb — retired in FAVOR of the chunkp:32 pool
+    * (round-4 review #8): both measured the same child-JVM probe
+    * minimum, but the headline pool restarted at every protocol bump
+    * while the probe's measured code never changed, so the bump-proof
+    * chunkp pool is the authoritative estimator and the duplicate
+    * headline key only ever under-pooled it.
     * New-plan samples ledger under the era-suffixed key (below), so
     * retirement is a one-time purge of the old era, NOT a standing
     * purge of every future sample. */
-  private val RetiredPairKeys = Seq("headline:substr_dups")
+  private val RetiredPairKeys =
+    Seq("headline:substr_dups", "headline:substr_sa", "headline:chunk_2gb")
 
   /** Per-query plan-era suffix: when one query's measured plan changes,
     * its NEW samples ledger under `headline:<query><era>` so they pool
     * normally while the bare-key old-era samples retire exactly once.
     * The driver-facing query name stays unsuffixed. */
-  private val QueryPlanEra = Map("substr_dups" -> "@p2")
+  private val QueryPlanEra = Map("substr_dups" -> "@p2", "substr_sa" -> "@p2")
 
   private def headlineKey(q: String): String =
     "headline:" + q + QueryPlanEra.getOrElse(q, "")
@@ -389,7 +399,9 @@ object Bench {
       })
     spark32.stop()
 
-    val headline = headline32 :+ ("chunk_2gb" -> chunkWalls(32))
+    // chunk_2gb reports from the chunkp pool below (see RetiredPairKeys)
+    // instead of carrying its own duplicate headline pool
+    val headline = headline32
 
     // scaling protocol: interleaved reps, stability-gated per level.
     // BOTH pairs run the 4x corpus: the north rule's criterion lives at
@@ -498,8 +510,6 @@ object Bench {
     val headlinePooled = headline.map { case (k, v) =>
       k -> (v +: priorHead.collect { case (pk, w) if pk == headlineKey(k) => w }).min
     }
-    val qs = headlinePooled.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = headlinePooled.map(_._2).sum
 
     // chunk-phase scaling control at the north-rule proxy pair (2→8),
     // pooled minima per level across recorded runs. Only "chunkp:"
@@ -521,12 +531,18 @@ object Bench {
     // BlobMiB is mebibytes, so MB = MiB * 1.048576
     val chunkMbps = ChunkProbe.BlobMiB * 1.048576 / chunk32Pooled
 
+    // the driver-facing chunk_2gb number IS the chunkp:32 pooled min —
+    // one authoritative chunk estimator (round-4 review #8)
+    val queriesOut = headlinePooled :+ ("chunk_2gb" -> chunk32Pooled)
+    val qs = queriesOut.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = queriesOut.map(_._2).sum
+
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","images":$images,"gate_images":$gateImages,"images_per_sec_local32":$ips32%.1f,"images_per_sec_local8":$ips8%.1f,"images_per_sec_local4":$ips4%.1f,"images_per_sec_local16":$ips16%.1f,"images_per_sec_local2":$ips2%.1f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_secondmin":$eff28Second%.3f,"scaling_efficiency_4_to_16":$eff416%.3f,"gate2_images":$gate2Images,"scaling_efficiency_2_to_8_3200k":$eff28Big%.3f,"serial_floor_sec":$fitF%.2f,"parallel_work_core_sec":$fitW%.1f,"chunk_mbps_local32":$chunkMbps%.0f,"chunk_scaling_2_to_8":$chunkEff28%.3f,"pooled_prior_samples":${prior.length},"fresh_samples":${gate.length + sec.length + midp.length + sec2.length}}""")
 
     writeBenchMd(sfDir, images, gateImages, t2, t8, t8g, t32g, t4, t16, eff28, eff28Second,
       eff832, eff416,
-      gate, sec, midp, headlinePooled, prior.length, chunk2Pooled, chunk8Pooled, chunk32Pooled, chunkEff28,
+      gate, sec, midp, queriesOut, prior.length, chunk2Pooled, chunk8Pooled, chunk32Pooled, chunkEff28,
       gate2Images, t2b, t8b, eff28Big, sec2, fitW, fitF, effAtScale)
   }
 
@@ -721,7 +737,9 @@ object Bench {
     md ++= "| chunkp:<cores> | chunk probe, fresh child JVM per rep; `steal` field = ticks/SECOND | live |\n"
     md ++= "| chunk:<cores>, headline8:* | chunk sweep inside the bench JVM — heap history confounded the 32-thread level | retired |\n"
     md ++= "| chunkjvm:<cores> | child-JVM probe, but steal-blind (reps can never prove themselves calm) | retired |\n"
-    md ++= "| headline:substr_dups (exact key, pre-mapPartitions samples) | that one query's winnowing plan changed (window functions → narrow mapPartitions, same selection); only its own headline pool restarts | retired |\n\n"
+    md ++= "| headline:substr_dups (exact key, pre-mapPartitions samples) | that one query's winnowing plan changed (window functions → narrow mapPartitions, same selection); only its own headline pool restarts | retired |\n"
+    md ++= "| headline:substr_sa (exact key, two-job samples) | round 5 folded the size-gate driver pre-scan job into the main plan (same pair semantics); only its own headline pool restarts (new era `@p2`) | retired |\n"
+    md ++= "| headline:chunk_2gb | duplicate of the chunkp:32 estimator that restarted at every protocol bump while the probe's measured code never changed; the driver-facing `chunk_2gb` number now reads the bump-proof chunkp:32 pooled min directly | retired |\n\n"
     md ++= "Retired-family samples are MOVED to `BENCH/samples_retired.jsonl`\n"
     md ++= "on the first bench run after retirement (history preserved for\n"
     md ++= "audit); the live ledger then contains exactly what the estimators\n"

@@ -777,52 +777,49 @@ object TextOps extends Serializable {
         }
     }
 
-    // SIZE-GATED plan choice (the rerankTopK discipline): one cheap
-    // pre-scan decides whether any source exceeds the per-task budget.
+    // Size gate FOLDED INTO THE PLAN (round 5, serial-floor item): the
+    // earlier version ran a separate driver pre-scan job
+    // (totals.agg(max).head()) to choose between a one-shuffle plan
+    // and the block re-shard — a pure per-job-floor cost, because the
+    // un-skewed case makes the sharded plan DEGENERATE to the
+    // one-shuffle plan anyway: nG = 1 gives gid = 0 and
+    // sequence(0, 0) explodes to a single row (zero replication), and
+    // the totals side is one row per source, so its join broadcasts.
+    // The per-source group count is now computed in-flight with the
+    // same pair semantics and the same bounded-memory guarantee, one
+    // Spark job fewer per run.
     // The totals come from the table's n_chars METADATA column — a
     // 2-column pruned scan, no text decode — because they only feed a
-    // memory BUDGET (the gate and the group count G), not the pair
-    // semantics: n_chars tracks length(text), and lower() changes char
-    // counts only in exotic locales, noise far below the hash-variance
-    // slack the budget already tolerates. The common un-skewed corpus
-    // then runs the ONE-shuffle plan (group by source, no replication);
-    // only a corpus with a mega-source pays the block-partitioned
-    // re-shard's totals join + G-fold replication.
-    // unfiltered on purpose: every source in `d` is guaranteed a totals
-    // row (the inner join below must never drop docs), at the cost of
-    // counting below-min-length docs into the budget — an overestimate,
-    // i.e. slightly more groups, never an overflow
+    // memory BUDGET (the group count G), not the pair semantics:
+    // n_chars tracks length(text), and lower() changes char counts
+    // only in exotic locales, noise far below the hash-variance slack
+    // the budget already tolerates. Unfiltered on purpose: every
+    // source in `d` is guaranteed a totals row (the inner join must
+    // never drop docs), at the cost of counting below-min-length docs
+    // into the budget — an overestimate, i.e. slightly more groups,
+    // never an overflow.
     val totals = docs(spark, dir)
       .groupBy("source").agg(sum(col("n_chars")).as("src_chars"))
-    val maxRow = totals.agg(max(col("src_chars"))).head()
-    val maxChars = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxChars <= cap) {
-      d.select(col("doc_id"), col("t"), col("source"))
-        .as[(Long, String, String)]
-        .groupByKey(_._3)
-        .flatMapGroups { (_: String, rows: Iterator[(Long, String, String)]) =>
-          shardPairs(0, 0, rows.map(r => (r._1, r._2, 0)))
-        }
-        .toDF("id1", "id2")
-    } else {
-      // gid hashes the TEXT (not the doc id): identical copies land in
-      // one group, so the per-shard distinct-text dedup keeps working,
-      // and a pair's shard assignment is a pure function of its two
-      // texts. Each doc replicates to the G shards {min(gid,h),
-      // max(gid,h)} — the (g,g) self shard once, each cross shard once.
-      val sharded = d.join(totals, "source")
-        .withColumn("nG", expr(s"greatest(1L, (src_chars + ${cap - 1}) div $cap)").cast("int"))
-        .withColumn("gid", pmod(xxhash64(col("t")), col("nG")).cast("int"))
-        .select(col("source"), col("doc_id"), col("t"), col("gid"),
-          explode(expr("sequence(0, nG - 1)")).as("h"))
-        .select(col("source"), col("doc_id"), col("t"), col("gid"),
-          least(col("gid"), col("h")).as("g1"), greatest(col("gid"), col("h")).as("g2"))
-      sharded.as[(String, Long, String, Int, Int, Int)]
-        .groupByKey(r => (r._1, r._5, r._6))
-        .flatMapGroups { (key: (String, Int, Int), rows: Iterator[(String, Long, String, Int, Int, Int)]) =>
-          shardPairs(key._2, key._3, rows.map(r => (r._2, r._3, r._4)))
-        }
-        .toDF("id1", "id2")
-    }
+    // gid hashes the TEXT (not the doc id): identical copies land in
+    // one group, so the per-shard distinct-text dedup keeps working,
+    // and a pair's shard assignment is a pure function of its two
+    // texts. Each doc replicates to the G shards {min(gid,h),
+    // max(gid,h)} — the (g,g) self shard once, each cross shard once.
+    // no broadcast hint: one row per source is broadcast-sized for any
+    // destor-shaped corpus and AQE picks that plan itself, but a
+    // 10^8-source corpus must be allowed to fall back to a shuffle join
+    val sharded = d.join(totals, "source")
+      .withColumn("nG", expr(s"greatest(1L, (src_chars + ${cap - 1}) div $cap)").cast("int"))
+      .withColumn("gid", pmod(xxhash64(col("t")), col("nG")).cast("int"))
+      .select(col("source"), col("doc_id"), col("t"), col("gid"),
+        explode(expr("sequence(0, nG - 1)")).as("h"))
+      .select(col("source"), col("doc_id"), col("t"), col("gid"),
+        least(col("gid"), col("h")).as("g1"), greatest(col("gid"), col("h")).as("g2"))
+    sharded.as[(String, Long, String, Int, Int, Int)]
+      .groupByKey(r => (r._1, r._5, r._6))
+      .flatMapGroups { (key: (String, Int, Int), rows: Iterator[(String, Long, String, Int, Int, Int)]) =>
+        shardPairs(key._2, key._3, rows.map(r => (r._2, r._3, r._4)))
+      }
+      .toDF("id1", "id2")
   }
 }
