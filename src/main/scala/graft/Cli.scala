@@ -37,6 +37,7 @@ object Cli {
       |  stats   <storeDir>
       |  trace    <dataDir> <outDir> [--format text|fsl]
       |  simulate <traceGlob> [--format text|fsl]
+      |  sweep    <dataDir> <outDir>
       |options: --config <file>   -p "<key> <value>"   --local <cores>""".stripMargin
 
   /** A malformed command line — caught in [[run]]/[[main]] and turned
@@ -224,6 +225,38 @@ object Cli {
         val ratio = if (bytes == 0) "n/a" else f"${(bytes - storedB).toDouble / bytes}%.4f"
         s"simulate ($fmt): ${r.getLong(0)} streams, ${r.getLong(1)} chunks " +
           s"(${r.getLong(4)} stored), $bytes bytes ($storedB stored), dedup ratio $ratio"
+
+      case Seq("sweep", dataDir, outDir) =>
+        // destor's benchmark workflow in one command (scripts/
+        // benchmark.sh + edpl.sh + ndll.sh): every index config over
+        // the same corpus, plus the restore-cache sweep — emits the
+        // backup.log / restore.log-shaped tables
+        import graft.ops.SweepOps
+        val t0 = System.nanoTime
+        val b = SweepOps.backupLog(spark, dataDir)
+        val r = SweepOps.restoreLog(spark, dataDir)
+        val bLines = SweepOps.formatBackupLog(b)
+        val rLines = SweepOps.formatRestoreLog(r)
+        new java.io.File(outDir).mkdirs()
+        def writeLog(name: String, header: String, lines: Seq[String]): Unit =
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(outDir, name),
+            (header +: lines).mkString("", "\n", "\n"))
+        writeLog("backup.log",
+          "# config job_seq job n_chunks data_bytes stored_bytes cum_stored_bytes " +
+            "dedup_ratio rewrite_ratio n_containers sparse_containers " +
+            "inherited_sparse index_lookups index_hits index_entries index_mem_bytes",
+          bLines)
+        writeLog("restore.log",
+          "# job policy cache_size data_bytes containers_read speed_factor", rLines)
+        val secs = (System.nanoTime - t0) / 1e9
+        // throughput over the exact config's data volume (the measured
+        // 13th/5th field destor logs per job; here per sweep run)
+        val dataBytes = b.filter(col("config") === "exact")
+          .agg(sum("data_bytes")).head().getLong(0)
+        f"sweep: ${SweepOps.defaultConfigs.length} configs, ${bLines.length} backup rows + " +
+          f"${rLines.length} restore rows -> $outDir in $secs%.1f s " +
+          f"(${dataBytes * SweepOps.defaultConfigs.length / 1.048576e6 / secs}%.1f MB/s swept)"
 
       case Seq("trace", dataDir, outDir, rest @ _*) =>
         val fmt = traceFormat(rest)
