@@ -83,14 +83,16 @@ object Bench {
     dir
   }
 
-  private def dropCorpus(nGroups: Long): Unit = {
+  private def dropDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(); ()
     }
-    val d = new java.io.File(corpusDir(nGroups))
+    val d = new java.io.File(path)
     if (d.exists()) rm(d)
   }
+
+  private def dropCorpus(nGroups: Long): Unit = dropDir(corpusDir(nGroups))
 
   private def runPipeline(spark: SparkSession, nGroups: Long): (Double, Long) = {
     import spark.implicits._
@@ -107,6 +109,44 @@ object Bench {
 
   private def session(cores: Int): SparkSession =
     Sessions.local(cores, ScalingPartitions, s"graft-bench-$cores")
+
+  /** The timed chain body: `versions` successive ingests of the corpus
+    * at `corpusPath` through a persistent incremental store, versions
+    * v00-v02 expired after v11. Returns (total wall, per-version
+    * (ver, ingest wall, clusters after, store bytes)). */
+  private[graft] def runChain(cs: SparkSession, corpusPath: String,
+      versions: Int): (Double, Seq[(Int, Double, Long, Long)]) = {
+    import cs.implicits._
+    import org.apache.spark.sql.functions.{col, substring}
+    val corpus = cs.read.parquet(corpusPath)
+    val idNum = substring(col("image_id"), 4, 10).cast("long")
+    val store = corpusPath + "-chainstore"
+    dropDir(store)
+    val inc = new graft.pipeline.IncrementalDedup(cs, store, cfg)
+    def storeBytes: Long = {
+      def size(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(size).sum else f.length()
+      val d = new java.io.File(store)
+      if (d.exists()) size(d) else 0L
+    }
+    val t0 = System.nanoTime()
+    val rows = (0 until versions).map { v =>
+      val b = corpus.filter(idNum % versions === v).as[graft.core.ImageRow]
+      val tv = System.nanoTime()
+      val nClusters = inc.ingest(b, f"v$v%02d")
+        .select("cluster_id").distinct().count()
+      val w = (System.nanoTime() - tv) / 1e9
+      if (v == 11) {
+        new graft.pipeline.Retention(cs, store, cfg)
+          .expire(Seq("v00", "v01", "v02"), "gc-mid")
+        ()
+      }
+      (v, w, nClusters, storeBytes)
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    dropDir(store)
+    (wall, rows)
+  }
 
   /** Protocol identity for the cross-run sample ledger: bump whenever
     * the measured code path, corpus construction, or session config
@@ -403,6 +443,28 @@ object Bench {
     // instead of carrying its own duplicate headline pool
     val headline = headline32
 
+    // Long-chain version workload (destor's per-version backup loop,
+    // scripts/benchmark.sh:53-63): 20 successive batches through the
+    // persistent incremental store with retention firing mid-chain,
+    // timed end-to-end. ADDITIVE ledger family ("chain:total") — it
+    // pools under its own key, so the existing scaling/headline pools
+    // are untouched and no protocol bump is needed.
+    val chainVersions = 20
+    val (chainWall, chainLog) = locally {
+      val cs = session(32)
+      try runChain(cs, ensureCorpus(cs, nGroups), chainVersions)
+      finally cs.stop()
+    }
+
+    // ANN recall at bench scale (round-4 review #6): micro recall@5 of
+    // the LSH ANN against hash-sampled exact ground truth over THIS
+    // sf's embeddings — the measured number behind q_ann_scale_gate's
+    // 0.85 floor, reported so the gate's margin is visible per run
+    val graftAnnRecall = locally {
+      val s = session(32)
+      try graft.sim.EmbedOps.annScaleRecall(s, sfDir) finally s.stop()
+    }
+
     // scaling protocol: interleaved reps, stability-gated per level.
     // BOTH pairs run the 4x corpus: the north rule's criterion lives at
     // 10^12-image scale where per-job driver constants are invisible,
@@ -445,6 +507,7 @@ object Bench {
     ledgerAppend(gate.map("gate" -> _) ++ sec.map("secondary" -> _) ++
       midp.map("mid" -> _) ++
       headline.map { case (k, v) => headlineKey(k) -> Rep(32, v, 0, 0, 0) } ++
+      Seq("chain:total" -> Rep(32, chainWall, 0, 0, 0)) ++
       chunkReps.toSeq.map { case (c, w, stRate) => s"chunkp:$c" -> Rep(c, w, stRate, 0, 0) },
       gateImages)
 
@@ -533,17 +596,22 @@ object Bench {
 
     // the driver-facing chunk_2gb number IS the chunkp:32 pooled min —
     // one authoritative chunk estimator (round-4 review #8)
-    val queriesOut = headlinePooled :+ ("chunk_2gb" -> chunk32Pooled)
+    val chainPooled = (chainWall +: prior.collect {
+      case (pk, r) if pk == "chain:total" => r.wall
+    }).min
+    val queriesOut = headlinePooled :+ ("chunk_2gb" -> chunk32Pooled) :+
+      (s"chain_${chainVersions}v" -> chainPooled)
     val qs = queriesOut.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = queriesOut.map(_._2).sum
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","images":$images,"gate_images":$gateImages,"images_per_sec_local32":$ips32%.1f,"images_per_sec_local8":$ips8%.1f,"images_per_sec_local4":$ips4%.1f,"images_per_sec_local16":$ips16%.1f,"images_per_sec_local2":$ips2%.1f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_secondmin":$eff28Second%.3f,"scaling_efficiency_4_to_16":$eff416%.3f,"gate2_images":$gate2Images,"scaling_efficiency_2_to_8_3200k":$eff28Big%.3f,"serial_floor_sec":$fitF%.2f,"parallel_work_core_sec":$fitW%.1f,"chunk_mbps_local32":$chunkMbps%.0f,"chunk_scaling_2_to_8":$chunkEff28%.3f,"pooled_prior_samples":${prior.length},"fresh_samples":${gate.length + sec.length + midp.length + sec2.length}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","images":$images,"gate_images":$gateImages,"images_per_sec_local32":$ips32%.1f,"images_per_sec_local8":$ips8%.1f,"images_per_sec_local4":$ips4%.1f,"images_per_sec_local16":$ips16%.1f,"images_per_sec_local2":$ips2%.1f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_secondmin":$eff28Second%.3f,"scaling_efficiency_4_to_16":$eff416%.3f,"gate2_images":$gate2Images,"scaling_efficiency_2_to_8_3200k":$eff28Big%.3f,"serial_floor_sec":$fitF%.2f,"parallel_work_core_sec":$fitW%.1f,"chunk_mbps_local32":$chunkMbps%.0f,"chunk_scaling_2_to_8":$chunkEff28%.3f,"chain_${chainVersions}v_sec":$chainPooled%.1f,"ann_recall_sampled":${graftAnnRecall}%.3f,"pooled_prior_samples":${prior.length},"fresh_samples":${gate.length + sec.length + midp.length + sec2.length}}""")
 
     writeBenchMd(sfDir, images, gateImages, t2, t8, t8g, t32g, t4, t16, eff28, eff28Second,
       eff832, eff416,
       gate, sec, midp, queriesOut, prior.length, chunk2Pooled, chunk8Pooled, chunk32Pooled, chunkEff28,
-      gate2Images, t2b, t8b, eff28Big, sec2, fitW, fitF, effAtScale)
+      gate2Images, t2b, t8b, eff28Big, sec2, fitW, fitF, effAtScale,
+      chainVersions, chainWall, chainPooled, chainLog, graftAnnRecall)
   }
 
   private def time(f: => Unit): Double = {
@@ -562,7 +630,9 @@ object Bench {
       chunk2: Double, chunk8: Double, chunk32: Double, chunkEff28: Double,
       gate2Images: Long, t2b: Double, t8b: Double, eff28Big: Double,
       sec2: Seq[Rep], fitW: Double, fitF: Double,
-      effAtScale: Double => Double): Unit = {
+      effAtScale: Double => Double,
+      chainVersions: Int, chainWall: Double, chainPooled: Double,
+      chainLog: Seq[(Int, Double, Long, Long)], annRecall: Double): Unit = {
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
     val md = new StringBuilder
@@ -679,6 +749,11 @@ object Bench {
     md ++= "executor brings its own memory system.\n\n"
     md ++= "## Headline query timings at local[32] (pooled min across recorded runs)\n\n| query | sec |\n|---|---|\n"
     queryTimes.foreach { case (k, v) => md ++= f"| $k | $v%.3f |\n" }
+    md ++= f"\nANN recall@5 vs hash-sampled exact ground truth at this sf: **$annRecall%.3f**\n"
+    md ++= "(the measured number behind `q_ann_scale_gate`'s 0.85 floor — the gate\n"
+    md ++= "row itself is hash-matched by the driver at sf0.01 and re-checked at\n"
+    md ++= "sf0.1; sampled oracle cost is bounded by the sample count, so the same\n"
+    md ++= "gate runs at any corpus size.)\n"
     for {
       annG <- queryTimes.collectFirst { case ("embed_ann", v) => v }
       annS <- queryTimes.collectFirst { case ("ann_scalepath", v) => v }
@@ -727,6 +802,23 @@ object Bench {
       md ++= f"throughput degrades beyond 8 active cores independent of Spark\n"
       md ++= f"(frequency/shared-pipe effects; doc/shuffle-scaling-notes.md).\n"
     }
+    locally {
+      md ++= f"\n## Long-chain version workload ($chainVersions successive backups, retention mid-chain)\n\n"
+      md ++= "destor's per-version backup loop (scripts/benchmark.sh:53-63):\n"
+      md ++= f"the standard bench corpus split into $chainVersions version batches (dup\n"
+      md ++= "groups straddle versions, so every backup re-encounters chain\n"
+      md ++= "content), ingested through the persistent incremental store;\n"
+      md ++= "versions v00-v02 expire after v11 (retention mid-chain, cma.c's\n"
+      md ++= "rolling window). ChainSpec asserts chain == one-shot at three\n"
+      md ++= "checkpoints; the walls here are the same job timed at bench\n"
+      md ++= "scale. Store bytes drop at v11 = the GC reclaiming expired\n"
+      md ++= "batches while the chain keeps ingesting.\n\n"
+      md ++= f"**Total chain wall: $chainWall%.1f s this run (pooled min $chainPooled%.1f s; ledger family `chain:total`)**\n\n"
+      md ++= "| version | ingest wall s | clusters after | store bytes |\n|---|---|---|---|\n"
+      chainLog.foreach { case (v, w, nc, sb) =>
+        md ++= f"| v$v%02d${if (v == 11) " (+GC)" else ""} | $w%.2f | $nc | $sb |\n"
+      }
+    }
     md ++= "\n## Ledger protocol history (BENCH/samples.jsonl)\n\n"
     md ++= "Minima pool ONLY over live-ledger samples matching the current\n"
     md ++= s"protocol id (`$ProtocolId`) + corpus size; a protocol bump starts\n"
@@ -735,6 +827,7 @@ object Bench {
     md ++= "| gate / secondary / mid | scaling reps (8→32 / 2→8 / 4→16): wall s, steal ticks, bracketing cal ms | live |\n"
     md ++= "| headline:<query> | local[32] per-query timings (min-of-2 per run) | live |\n"
     md ++= "| chunkp:<cores> | chunk probe, fresh child JVM per rep; `steal` field = ticks/SECOND | live |\n"
+    md ++= "| chain:total | 20-version incremental backup chain with mid-chain retention, end-to-end wall (additive, round 5) | live |\n"
     md ++= "| chunk:<cores>, headline8:* | chunk sweep inside the bench JVM — heap history confounded the 32-thread level | retired |\n"
     md ++= "| chunkjvm:<cores> | child-JVM probe, but steal-blind (reps can never prove themselves calm) | retired |\n"
     md ++= "| headline:substr_dups (exact key, pre-mapPartitions samples) | that one query's winnowing plan changed (window functions → narrow mapPartitions, same selection); only its own headline pool restarts | retired |\n"
