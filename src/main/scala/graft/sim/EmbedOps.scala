@@ -366,12 +366,12 @@ object EmbedOps {
     * the brute-force cosine top-k, computed IN-QUERY (each side has
     * exactly k rows per vector, so micro recall == mean per-query
     * recall), emitted as a constant-shaped verdict row. The bar sits
-    * under the measured 0.89-0.91 with honest margin (this corpus is
+    * under the measured 0.89-0.93 with honest margin — floor raised 0.75 -> 0.85 in round 5, matching annScaleGate (this corpus is
     * near-random — the hardest ANN regime; DocOpsSpec gates the same
     * property at 0.7). No corpus-size literals in the row, so the
     * oracle SQL is a pure constant at any sf. */
   def annGate(spark: SparkSession, dir: String, k: Int = 5,
-      recallMin: Double = 0.75): DataFrame = {
+      recallMin: Double = 0.85): DataFrame = {
     import spark.implicits._
     val bf = cosineTopK(spark, dir, k).select("vec_id", "neighbor_id")
     val ann = annTopK(spark, dir, k).select("vec_id", "neighbor_id")
@@ -394,7 +394,7 @@ object EmbedOps {
     * 1-in-1000-queries discipline of large-scale ANN evaluation). The
     * ANN side runs the FULL corpus query unchanged; recall is micro
     * recall@k over the sampled queries, emitted as the constant-shaped
-    * verdict row. Floor 0.85 (vs annGate's 0.75): at/above the
+    * verdict row. Floor 0.85 (annGate now matches): at/above the
     * measured 0.87-0.91 band minus honest margin on a near-random
     * corpus, raised per the round-4 review. */
   def annScaleGate(spark: SparkSession, dir: String, k: Int = 5,
